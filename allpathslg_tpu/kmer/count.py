@@ -1,0 +1,167 @@
+"""Sort-based k-mer counting and spectra — north-star kernel #1.
+
+Replaces the reference's parcel/hash-block parallel kmerize-sort-kernel
+executor (ref: src/kmers/naif_kmer/NaifKmerizer.cc `naif_kmerize`,
+KernelKmerStorer; src/kmers/kmer_parcels/KmerParcelsBuilder) with one fused
+device program: extract → canonicalize → multi-word sort → run-length count.
+Invalid windows carry the all-ones sentinel key, which sorts last and is
+excluded by masking (a canonical key is never all-ones, see kmer/bits.py).
+
+TPU shape of the hot path: counting is sort + two scans (cummax/cummin) —
+no scatters, no segment ids, no gathers — so the cost is the sort itself.
+Scatter-based segment ops only appear in the optional table-compaction and
+quality-sum paths used by error correction.
+
+A `CountedKmers` is a fixed-size padded table: sorted unique canonical keys
+at the front, sentinel padding behind, counts aligned. Batches merge by
+concat+re-sort, so huge read sets stream through in fixed-size chunks (the
+reference's multi-pass parcels become streamed device batches).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from allpathslg_tpu.kmer import bits, kmerize
+from allpathslg_tpu.ops import sort as ops_sort
+from allpathslg_tpu.ops import segmented
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CountedKmers:
+    """Padded sorted unique canonical kmer table with counts."""
+
+    words: List[jax.Array]     # W × uint32 [M]; sentinel-padded tail
+    counts: jax.Array          # int32 [M]; 0 on padding
+    qsum: Optional[jax.Array]  # int32 [M]; summed min-base-qual support (or None)
+    n_unique: jax.Array        # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.counts.shape[0]
+
+
+def window_min_qual(codes, quals, K: int):
+    """Min base quality per K-window (the reference's quality support for
+    strong/weak kmer calls, ref: src/paths/FindErrorsCore.cc)."""
+    N, L = codes.shape
+    P = L - K + 1
+    q = jnp.where(codes >= 4, 255, quals).astype(jnp.int32)
+    wq = q[:, 0:P]
+    for j in range(1, K):
+        wq = jnp.minimum(wq, q[:, j : j + P])
+    return wq
+
+
+def count_sorted(flat_words) -> Tuple[list, jnp.ndarray, jnp.ndarray]:
+    """Sort flat canonical keys; return (sorted_words, counts_at_starts,
+    starts). Pure sort+scan — the fast path."""
+    skeys = lax.sort(list(flat_words), num_keys=len(flat_words),
+                     dimension=0, is_stable=False)
+    if not isinstance(skeys, (list, tuple)):
+        skeys = [skeys]
+    skeys = list(skeys)
+    starts = ops_sort.run_starts(skeys)
+    counts = segmented.run_lengths(starts)
+    real = ~bits.is_sentinel(skeys)
+    counts = jnp.where(real, counts, 0)
+    return skeys, counts, starts
+
+
+def spectrum_from_counts(counts: jnp.ndarray, max_freq: int = 255) -> jnp.ndarray:
+    """Histogram of run counts: spec[f] = # distinct kmers with count f."""
+    c = jnp.clip(counts, 0, max_freq)
+    return jax.ops.segment_sum((counts > 0).astype(jnp.int32), c,
+                               num_segments=max_freq + 1)
+
+
+def count_reads(codes: jnp.ndarray, K: int,
+                quals: Optional[jnp.ndarray] = None) -> CountedKmers:
+    """Canonical K-mer counts of one read batch as a compact padded table.
+
+    If `quals` is given, also accumulates per-kmer quality support (sum of
+    window-min base quals over occurrences)."""
+    canon, valid = kmerize.kmer_windows(codes, K)
+    flat, vmask = kmerize.flatten_kmers(canon, valid, K)
+    if quals is None:
+        skeys, counts, starts = count_sorted(flat)
+        return compact_table(skeys, counts, starts)
+    wq = window_min_qual(codes, quals, K)
+    wq = jnp.where(vmask, wq.reshape(-1), 0)
+    skeys, spay = ops_sort.sort_by_words(flat, [wq])
+    starts = ops_sort.run_starts(skeys)
+    counts = segmented.run_lengths(starts)
+    real = ~bits.is_sentinel(skeys)
+    counts = jnp.where(real, counts, 0)
+    qsum = _sum_per_run(spay[0], starts, counts)
+    return compact_table(skeys, counts, starts, qsum)
+
+
+def _sum_per_run(values, starts, counts):
+    """Sum of `values` over each run, placed at run starts (0 elsewhere).
+    One cumsum + one gather; no scatters."""
+    cs = jnp.cumsum(values.astype(jnp.int64)
+                    if values.dtype == jnp.int64 else values.astype(jnp.int32))
+    T = values.shape[0]
+    idx = jnp.arange(T, dtype=jnp.int32)
+    last = jnp.clip(idx + counts - 1, 0, T - 1)
+    total_to_last = cs[last]
+    before = jnp.where(idx > 0, cs[jnp.maximum(idx - 1, 0)], 0)
+    return jnp.where(counts > 0, total_to_last - before, 0)
+
+
+def compact_table(skeys, counts, starts, qsum=None) -> CountedKmers:
+    """Move unique keys to the front via a sentinel-keyed re-sort."""
+    sent = jnp.uint32(0xFFFFFFFF)
+    is_real = counts > 0
+    keyed = [jnp.where(is_real, w, sent) for w in skeys]
+    pay = [counts] + ([qsum] if qsum is not None else [])
+    uwords, upay = ops_sort.sort_by_words(keyed, pay)
+    n_unique = jnp.sum(is_real.astype(jnp.int32))
+    return CountedKmers(words=uwords, counts=upay[0],
+                        qsum=upay[1] if qsum is not None else None,
+                        n_unique=n_unique)
+
+
+def spectrum_reads(codes: jnp.ndarray, K: int, max_freq: int = 255):
+    """Fast path: spectrum + n_unique without building the compact table."""
+    canon, valid = kmerize.kmer_windows(codes, K)
+    flat, _ = kmerize.flatten_kmers(canon, valid, K)
+    _, counts, _ = count_sorted(flat)
+    spec = spectrum_from_counts(counts, max_freq)
+    return spec, jnp.sum((counts > 0).astype(jnp.int32))
+
+
+def merge_counted(a: CountedKmers, b: CountedKmers) -> CountedKmers:
+    """Merge two counted tables (same K), summing counts on equal keys."""
+    words = [jnp.concatenate([wa, wb]) for wa, wb in zip(a.words, b.words)]
+    counts = jnp.concatenate([a.counts, b.counts])
+    have_q = a.qsum is not None and b.qsum is not None
+    pay = [counts] + ([jnp.concatenate([a.qsum, b.qsum])] if have_q else [])
+    skeys, spay = ops_sort.sort_by_words(words, pay)
+    starts = ops_sort.run_starts(skeys)
+    rl = segmented.run_lengths(starts)  # runs of table rows, not kmer counts
+    real = ~bits.is_sentinel(skeys) & (spay[0] > 0)
+    csum = jnp.where(real, _sum_per_run(spay[0], starts, rl), 0)
+    qsum = jnp.where(real, _sum_per_run(spay[1], starts, rl), 0) if have_q else None
+    return compact_table(skeys, csum, starts, qsum)
+
+
+def trim_to_host(ck: CountedKmers) -> CountedKmers:
+    """Host-side: slice the padded table down to its true size."""
+    n = int(ck.n_unique)
+    return CountedKmers(words=[w[:n] for w in ck.words],
+                        counts=ck.counts[:n],
+                        qsum=None if ck.qsum is None else ck.qsum[:n],
+                        n_unique=ck.n_unique)
+
+
+def spectrum(ck: CountedKmers, max_freq: int = 255) -> jnp.ndarray:
+    """Spectrum from a compact table (ref: KmerSpectra)."""
+    return spectrum_from_counts(ck.counts, max_freq)
