@@ -1,0 +1,103 @@
+"""Jump (mate-pair) library error correction.
+
+Behavior contract (ref: src/paths/ErrorCorrectJump.cc + FirstLookup,
+SURVEY.md §2.5 row 8): jump reads chimerize mid-read at the circularization
+junction, so only the aligned *prefix* is trusted — align prefixes against
+the trusted kmer set of the corrected fragment reads, truncate at the first
+untrusted window (the junction), flip outies to innies, and drop duplicate
+and unalignable pairs (jump libraries have high molecular-duplicate rates).
+
+TPU shape: the prefix alignment is the same searchsorted membership scan as
+spectrum EC's window test; truncation reuses the clean_reads trim kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from allpathslg_tpu.dtypes.reads import PAD_CODE
+from allpathslg_tpu.ec import spectrum_ec as sec
+
+
+@dataclasses.dataclass(frozen=True)
+class JumpECConfig:
+    K: int = 24
+    min_prefix_len: int = 40    # drop mates with shorter trusted prefix
+    dedupe: bool = True
+
+
+@functools.partial(jax.jit, static_argnames=())
+def flip_reads(codes, quals, lengths):
+    """Reverse-complement every read in place (outie → innie convention)."""
+    N, L = codes.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lengths[:, None] - 1 - idx
+    srcc = jnp.clip(src, 0, L - 1)
+    c = jnp.take_along_axis(codes, srcc, axis=1)
+    c = jnp.where((src >= 0) & (c < 4), 3 - c, PAD_CODE).astype(jnp.uint8)
+    q = jnp.take_along_axis(quals, srcc, axis=1)
+    q = jnp.where(src >= 0, q, 0).astype(jnp.uint8)
+    return c, q
+
+
+def error_correct_jumps(codes, quals, lengths, pairs, table,
+                        cfg: JumpECConfig = JumpECConfig()):
+    """Returns (codes, quals, lengths, pair_ok, metrics). Rows are kept
+    aligned with the input (dropped reads get length 0)."""
+    codes = jnp.asarray(codes)
+    quals = jnp.asarray(quals)
+    lengths = jnp.asarray(lengths)
+
+    # 1. trusted-prefix truncation at the chimeric junction. Trim from the
+    #    START of the read (the sequencing end) — clean_reads keeps the
+    #    leading strong span, which is exactly the trusted prefix here.
+    ccfg = sec.SpectrumECConfig(K=cfg.K, min_tail_len=cfg.min_prefix_len)
+    tcodes, tlens, _ = sec.clean_reads(codes, lengths, table, ccfg)
+
+    # re-attach quals for the kept span (clean_reads shifts codes to col 0;
+    # the shift offset is recoverable as the first strong window start, but
+    # jump quals are only used for dedup priority — approximate with the
+    # original leading quals of the same length)
+    tquals = jnp.where(jnp.arange(codes.shape[1])[None, :] < tlens[:, None],
+                       quals, 0).astype(jnp.uint8)
+
+    # 2. flip outies → innies
+    fcodes, fquals = flip_reads(tcodes, tquals, tlens)
+
+    # 3. pair survival: both mates long enough
+    p = np.asarray(pairs)
+    ln = np.asarray(tlens)
+    pair_ok = (ln[p[:, 0]] >= cfg.min_prefix_len) & (ln[p[:, 1]] >= cfg.min_prefix_len)
+
+    # 4. molecular-duplicate removal on trusted prefixes
+    n_dup = 0
+    if cfg.dedupe and len(p):
+        c_np = np.asarray(fcodes)
+        pre = min(cfg.min_prefix_len, c_np.shape[1])
+        h1 = np.array([hash(c_np[i, :pre].tobytes()) for i in p[:, 0]])
+        h2 = np.array([hash(c_np[i, :pre].tobytes()) for i in p[:, 1]])
+        _, first = np.unique(np.stack([h1, h2], 1), axis=0, return_index=True)
+        dup = np.ones(len(p), bool)
+        dup[first] = False
+        n_dup = int((dup & pair_ok).sum())
+        pair_ok &= ~dup
+
+    out_lens = np.asarray(tlens).copy()
+    bad_reads = np.ones(codes.shape[0], bool)
+    bad_reads[p[pair_ok, 0]] = False
+    bad_reads[p[pair_ok, 1]] = False
+    out_lens[bad_reads] = 0
+
+    metrics = {
+        "n_pairs_in": int(len(p)),
+        "n_pairs_kept": int(pair_ok.sum()),
+        "n_duplicates": n_dup,
+    }
+    return (np.asarray(fcodes), np.asarray(fquals), out_lens,
+            pair_ok, metrics)

@@ -1,0 +1,130 @@
+"""Phase-1 pre-correction: 25-mer stack majority voting.
+
+Behavior contract (ref: src/paths/FindErrors.cc phase 1 / PreCorrect,
+SURVEY.md §2.5 row 3 and §3.2): pile up all 25-mers sharing the same 24-base
+context (12 bases each side of the center), majority-vote the center base
+when a dominant alternative exists, and never touch high-quality disagreeing
+bases.
+
+TPU shape: each interior base of each read is the center of exactly ONE
+25-window, so votes come back as a dense [N, P] array — corrections apply
+with a plain `where`, no scatter. Stacks are strand-neutral: windows orient
+by the lexicographically smaller of (context, rc(context)) with the center
+bits masked, and the center base complements along.
+
+Per-stack per-base tallies use cumsum-difference segmented sums (no
+scatters): four one-hot sums + four max-qual reductions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from allpathslg_tpu.kmer import bits, kmerize
+from allpathslg_tpu.ops import sort as ops_sort
+from allpathslg_tpu.ops import segmented
+
+K_PRE = 25
+CENTER = 12  # self-mirroring position: 24 - 12 == 12
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecorrectConfig:
+    min_winner: int = 6        # dominant base needs this many observations
+    qual_protect: int = 30     # protect recurrent (>=2x) bases at/above this qual
+    min_ratio: int = 8         # winner/loser count ratio
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def precorrect(codes: jnp.ndarray, quals: jnp.ndarray,
+               cfg: PrecorrectConfig = PrecorrectConfig()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (corrected_codes, n_corrections)."""
+    N, L = codes.shape
+    P = L - K_PRE + 1
+    fwd, valid = kmerize.kmer_windows_fwd(codes, K_PRE)
+
+    # strand-neutral context orientation: mask center bits, compare fwd vs rc
+    ctx_f = bits.mask_base(fwd, CENTER)
+    rc = bits.rc_words(fwd, K_PRE)
+    ctx_r = bits.mask_base(rc, CENTER)  # rc center lands back at CENTER
+    use_rc = bits.lex_less(ctx_r, ctx_f)
+    key = bits.select_words(use_rc, ctx_r, ctx_f)
+
+    center_in_read = codes[:, CENTER : CENTER + P].astype(jnp.int32)
+    center = jnp.where(use_rc, 3 - center_in_read, center_in_read)
+    cqual = quals[:, CENTER : CENTER + P].astype(jnp.int32)
+
+    # flatten + sentinel invalid
+    T = N * P
+    sent = jnp.uint32(0xFFFFFFFF)
+    vm = valid.reshape(-1)
+    fkey = [jnp.where(vm, w.reshape(-1), sent) for w in key]
+    fcen = jnp.where(vm, center.reshape(-1), 0)
+    fq = jnp.where(vm, cqual.reshape(-1), 0)
+    slot = jnp.arange(T, dtype=jnp.int32)  # to route votes back
+
+    skeys, spay = ops_sort.sort_by_words(fkey, [fcen, fq, slot])
+    scen, squal, sslot = spay
+    starts = ops_sort.run_starts(skeys)
+    rl = segmented.run_lengths(starts)
+    start_pos = jnp.arange(T, dtype=jnp.int32) - segmented.position_in_run(starts)
+    rl_all = rl[start_pos]  # run length broadcast to members
+
+    # per-stack per-base counts and max quals (cumsum-diff, no scatter)
+    def sum_per_run_broadcast(vals):
+        return _sum_per_run_at_starts(vals, starts, rl)[start_pos]
+
+    n_b = []
+    q_b = []
+    for b in range(4):
+        oneb = (scen == b).astype(jnp.int32)
+        n_b.append(sum_per_run_broadcast(oneb))
+        q_b.append(sum_per_run_broadcast(oneb * squal))
+    n_b = jnp.stack(n_b, axis=-1)   # [T, 4]
+    q_b = jnp.stack(q_b, axis=-1)
+
+    own = scen
+    own_n = jnp.take_along_axis(n_b, own[:, None], axis=1)[:, 0]
+    winner = jnp.argmax(n_b, axis=-1).astype(jnp.int32)
+    win_n = jnp.take_along_axis(n_b, winner[:, None], axis=1)[:, 0]
+
+    # a singleton minority is correctable at any quality; a recurrent
+    # minority (>=2 observations, e.g. a het allele) is protected once its
+    # quality is high (ref: PreCorrect's high-quality-disagreement guard)
+    protected = (squal >= cfg.qual_protect) & (own_n >= 2)
+    fix = (
+        (own != winner)
+        & (win_n >= cfg.min_winner)
+        & (win_n >= cfg.min_ratio * jnp.maximum(own_n, 1))
+        & ~protected
+        & ~bits.is_sentinel(skeys)
+    )
+
+    # route decisions back to window slots (scatter over T — one int32 array)
+    new_center = jnp.full(T, -1, dtype=jnp.int32)
+    new_center = new_center.at[sslot].set(jnp.where(fix, winner, -1))
+    new_center = new_center.reshape(N, P)
+
+    # un-orient and apply to the dense interior band
+    do_fix = new_center >= 0
+    fixed_val = jnp.where(use_rc, 3 - new_center, new_center)
+    interior = codes[:, CENTER : CENTER + P].astype(jnp.int32)
+    updated = jnp.where(do_fix, fixed_val, interior).astype(jnp.uint8)
+    out = codes.at[:, CENTER : CENTER + P].set(updated)
+    return out, jnp.sum(do_fix)
+
+
+def _sum_per_run_at_starts(values, starts, rl):
+    """Sum of values over each run, at run-start positions (0 elsewhere)."""
+    cs = jnp.cumsum(values)
+    T = values.shape[0]
+    idx = jnp.arange(T, dtype=jnp.int32)
+    last = jnp.clip(idx + rl - 1, 0, T - 1)
+    before = jnp.where(idx > 0, cs[jnp.maximum(idx - 1, 0)], 0)
+    return jnp.where(rl > 0, cs[last] - before, 0)

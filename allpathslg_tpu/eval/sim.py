@@ -67,9 +67,7 @@ def simulate_paired_reads(
     rng = np.random.default_rng(seed)
     G = len(genome)
     n_pairs = max(1, int(coverage * G / (2 * read_len)))
-    inserts = np.clip(rng.normal(insert_mean, insert_sd, n_pairs).astype(np.int64),
-                      2 * min(read_len, insert_mean // 2 + 1) if insert_mean < 2 * read_len else read_len,
-                      None)
+    inserts = rng.normal(insert_mean, insert_sd, n_pairs).astype(np.int64)
     inserts = np.maximum(inserts, read_len)
     max_start = G - inserts if not circular else np.full(n_pairs, G)
     starts = (rng.random(n_pairs) * np.maximum(max_start, 1)).astype(np.int64)
@@ -102,7 +100,8 @@ def simulate_paired_reads(
     quals = np.clip(quals + rng.integers(-3, 4, quals.shape), 2, 41).astype(np.uint8)
 
     perr = error_rate * (10.0 ** ((30.0 - quals.astype(np.float64)) / 10.0)) ** 0.5
-    perr = np.clip(perr * (error_rate / perr.mean()), 0, 0.25)
+    if error_rate > 0:
+        perr = np.clip(perr * (error_rate / perr.mean()), 0, 0.25)
     err = rng.random(codes.shape) < perr
     shift = rng.integers(1, 4, codes.shape).astype(np.uint8)
     codes = np.where(err, (codes + shift) % 4, codes).astype(np.uint8)

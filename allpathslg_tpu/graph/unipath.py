@@ -1,0 +1,218 @@
+"""Unipath construction: condense the de Bruijn graph of canonical k-mers
+into maximal unbranched paths, entirely with sorts, joins and pointer
+doubling on device.
+
+Behavior contract (ref: src/paths/Unipath.cc `Unipath()`, Unipather.cc,
+KmerBaseBroker — SURVEY.md §2.4/§3.3): given the kmer set of (corrected)
+reads, emit unipaths (maximal runs of kmers with unique extension) and their
+base sequences (unibases), with reverse-complement involution handled so each
+unipath appears exactly once.
+
+TPU-native algorithm (replaces hash maps + sequential walking):
+  * 2M oriented nodes over M canonical kmers (node id = 2*i + orient).
+  * successor lookup: shift-append each base, canonicalize, searchsorted
+    into the sorted kmer table → out-degrees and unique successors.
+  * indeg(x) = outdeg(flip x); chain edge x→y iff outdeg(x)==1 ∧ indeg(y)==1
+    (plus a hairpin guard y != flip(x)), giving an rc-symmetric `next`.
+  * prev[x] = flip(next[flip x]) — no scatter needed.
+  * chains found by pointer doubling on prev (distance-to-head), with
+    cycles (circular contigs/plasmids, homopolymer self-loops) broken at
+    their minimum-id node found by min-label doubling.
+  * unibase emission: ragged flat+offsets built by a searchsorted inverse
+    map — every output base is one dynamic-bit-extract gather.
+
+Known simplification: fully rc-palindromic K-mers (even K only) get two
+coincident oriented nodes; their chains dedupe by sequence later stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from allpathslg_tpu.kmer import bits
+from allpathslg_tpu.ops import join, sort as ops_sort, segmented
+
+
+@dataclasses.dataclass
+class Unipaths:
+    """Host-side unipath set (ragged)."""
+    bases: np.ndarray      # uint8 [total] concatenated unibase sequences
+    offsets: np.ndarray    # int64 [n+1] start offsets into bases
+    kmer_counts: np.ndarray  # int32 [n] kmers per unipath (len - K + 1)
+
+    @property
+    def n(self) -> int:
+        return len(self.offsets) - 1
+
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def sequence(self, i: int) -> np.ndarray:
+        return self.bases[self.offsets[i] : self.offsets[i + 1]]
+
+
+def _node_values(table, K: int):
+    """Oriented node values: [2M] word arrays, node 2i fwd / 2i+1 rc."""
+    M = table[0].shape[0]
+    rc = bits.rc_words(table, K)
+    vals = []
+    for wf, wr in zip(table, rc):
+        v = jnp.stack([wf, wr], axis=1).reshape(-1)  # interleave: 2i, 2i+1
+        vals.append(v)
+    return vals
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _chain_phase(table: Tuple[jnp.ndarray, ...], K: int):
+    """Phase 1: next/prev pointers, chain heads, distances, per-node info.
+
+    table: W sorted unique canonical kmer words [M] (no padding).
+    Returns (head, dist, vals, outdeg) over 2M oriented nodes.
+    """
+    table = list(table)
+    M = table[0].shape[0]
+    n_nodes = 2 * M
+    vals = _node_values(table, K)
+
+    # successors: 4 shift-appends + canonical + join
+    found_any = jnp.zeros(n_nodes, dtype=jnp.int32)
+    succ_node = jnp.full(n_nodes, -1, dtype=jnp.int32)
+    for b in range(4):
+        s = bits.shift_append(vals, jnp.uint32(b), K)
+        canon, is_rc = bits.canonical(s, K)
+        idx, found = join.searchsorted_words(table, canon)
+        node = idx * 2 + is_rc.astype(jnp.int32)
+        found_any = found_any + found.astype(jnp.int32)
+        succ_node = jnp.where(found, node, succ_node)
+    outdeg = found_any
+    uniq_succ = jnp.where(outdeg == 1, succ_node, -1)
+
+    # indeg(y) = outdeg(flip y); flip(node) = node ^ 1
+    node_ids = jnp.arange(n_nodes, dtype=jnp.int32)
+    indeg_of = lambda nodes: outdeg[nodes ^ 1]
+    y = uniq_succ
+    ok = (y >= 0) & (indeg_of(jnp.maximum(y, 0)) == 1)
+    nxt = jnp.where(ok, y, -1)
+    # rc symmetry gives prev without scatter: prev[x] = flip(next[flip x])
+    nf = nxt[node_ids ^ 1]
+    prv = jnp.where(nf >= 0, nf ^ 1, -1)
+
+    n_iter = max(1, int(np.ceil(np.log2(max(n_nodes, 2)))) + 1)
+
+    # min-label doubling to find cycle representatives
+    ptr = jnp.where(prv >= 0, prv, node_ids)
+    lab = node_ids
+
+    def mbody(_, state):
+        ptr, lab = state
+        lab = jnp.minimum(lab, lab[ptr])
+        return ptr[ptr], lab
+
+    ptr_f, minlab = lax.fori_loop(0, n_iter, mbody, (ptr, lab))
+    # path nodes end at a head (prev==-1); cycle nodes never do
+    in_cycle = prv[ptr_f] >= 0
+    # break each cycle at its min-label node
+    is_head = (prv < 0) | (in_cycle & (minlab == node_ids))
+    prv = jnp.where(is_head, -1, prv)
+
+    # distance-to-head pointer jumping: dist[x] += dist[ptr[x]] with
+    # dist[head] = 0 and self-pointing heads converges to steps-to-head
+    ptr = jnp.where(prv >= 0, prv, node_ids)
+    dist = jnp.where(is_head, 0, 1)
+
+    def dbody(_, state):
+        ptr, dist = state
+        return ptr[ptr], dist + dist[ptr]
+
+    ptr_f2, dist = lax.fori_loop(0, n_iter, dbody, (ptr, dist))
+    head = ptr_f2  # converged pointer = head (heads self-point)
+    return head, dist, vals, outdeg, nxt
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _order_phase(head, dist, K: int):
+    """Phase 2: sort nodes by (head, dist); chain bookkeeping + rc dedupe.
+
+    Returns (order, chain_start_flag, chain_len_at_start, keep_chain_flag)
+    in sorted order."""
+    n_nodes = head.shape[0]
+    skeys, spay = ops_sort.sort_by_words(
+        [head.astype(jnp.uint32), dist.astype(jnp.uint32)],
+        [jnp.arange(n_nodes, dtype=jnp.int32)],
+    )
+    order = spay[0]  # node ids in (head, dist) order
+    starts = ops_sort.run_starts([skeys[0]])  # runs of equal head
+    rl = segmented.run_lengths(starts)
+    idx = jnp.arange(n_nodes, dtype=jnp.int32)
+    start_pos = idx - segmented.position_in_run(starts)
+    chain_len = rl[start_pos]              # broadcast chain length
+    tail_node = order[start_pos + chain_len - 1]
+    head_node = order[start_pos]
+    keep = head_node <= (tail_node ^ 1)    # keep one of each rc pair
+    return order, starts, rl, chain_len, keep, start_pos
+
+
+def build_unipaths(table_words: List[jnp.ndarray], K: int,
+                   min_count: int = 2,
+                   counts: jnp.ndarray = None) -> Unipaths:
+    """Host driver: kmer table (sorted canonical, possibly padded with
+    sentinels + counts) → unipaths with base sequences.
+    """
+    if counts is not None:
+        mask = np.asarray(counts) >= min_count
+        tw = [jnp.asarray(np.asarray(w)[mask]) for w in table_words]
+    else:
+        tw = [jnp.asarray(np.asarray(w)) for w in table_words]
+    M = int(tw[0].shape[0])
+    if M == 0:
+        return Unipaths(np.zeros(0, np.uint8), np.zeros(1, np.int64),
+                        np.zeros(0, np.int32))
+
+    head, dist, vals, outdeg, nxt = _chain_phase(tuple(tw), K)
+    order, starts, rl, chain_len, keep, start_pos = _order_phase(head, dist, K)
+
+    # host: gather kept-chain structure (stage boundary; sizes become static)
+    order_np = np.asarray(order)
+    starts_np = np.asarray(starts)
+    rl_np = np.asarray(rl)
+    keep_np = np.asarray(keep)
+
+    chain_starts = np.nonzero(starts_np)[0]
+    lens = rl_np[chain_starts]
+    kept = keep_np[chain_starts]
+    chain_starts = chain_starts[kept]
+    lens = lens[kept]
+    n_chains = len(chain_starts)
+    seq_lens = lens + K - 1
+    seq_off = np.zeros(n_chains + 1, dtype=np.int64)
+    np.cumsum(seq_lens, out=seq_off[1:])
+    total = int(seq_off[-1])
+
+    bases = _emit_bases(
+        tuple(v for v in vals), K,
+        jnp.asarray(order_np), jnp.asarray(chain_starts.astype(np.int32)),
+        jnp.asarray(seq_off.astype(np.int32)), total)
+
+    return Unipaths(bases=np.asarray(bases), offsets=seq_off,
+                    kmer_counts=lens.astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("K", "total"))
+def _emit_bases(vals, K: int, order, chain_starts, seq_off, total: int):
+    """Every output base via inverse map: position t → (chain, offset) →
+    (node, base-in-kmer) → 2-bit extract."""
+    t = jnp.arange(total, dtype=jnp.int32)
+    c = jnp.searchsorted(seq_off, t, side="right").astype(jnp.int32) - 1
+    r = (t - seq_off[c]).astype(jnp.int32)
+    node_rank = jnp.maximum(0, r - (K - 1))
+    node = order[chain_starts[c] + node_rank]
+    j = jnp.minimum(r, K - 1)
+    gw = [v[node] for v in vals]
+    return bits.get_base_dyn(gw, j)

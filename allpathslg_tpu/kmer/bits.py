@@ -150,6 +150,40 @@ def get_base_dyn(words, j):
     return ((word >> shift) & jnp.uint32(3)).astype(jnp.uint8)
 
 
+def put_base_dyn(words, j, base):
+    """Replace the base at traced position j with `base` (arrays broadcast
+    with the word shapes). Returns new word list."""
+    w_idx = (j // BASES_PER_WORD).astype(jnp.int32)
+    shift = (30 - 2 * (j % BASES_PER_WORD)).astype(jnp.uint32)
+    b = jnp.asarray(base).astype(U32) & jnp.uint32(3)
+    out = []
+    for w, word in enumerate(words):
+        here = w_idx == w
+        cleared = word & ~(jnp.uint32(3) << shift)
+        out.append(jnp.where(here, cleared | (b << shift), word))
+    return out
+
+
+def mask_base_dyn(words, j):
+    """Zero the 2 bits of the base at traced position j (for context keys)."""
+    w_idx = (j // BASES_PER_WORD).astype(jnp.int32)
+    shift = (30 - 2 * (j % BASES_PER_WORD)).astype(jnp.uint32)
+    out = []
+    for w, word in enumerate(words):
+        here = w_idx == w
+        out.append(jnp.where(here, word & ~(jnp.uint32(3) << shift), word))
+    return out
+
+
+def mask_base(words, j: int):
+    """Zero the 2 bits of the base at static position j."""
+    w = j // BASES_PER_WORD
+    shift = 30 - 2 * (j % BASES_PER_WORD)
+    out = list(words)
+    out[w] = out[w] & ~(jnp.uint32(3) << jnp.uint32(shift))
+    return out
+
+
 def shift_append(words, base, K: int):
     """Drop the first base, append `base` (0..3) at the end: the de Bruijn
     successor operation. `base` may be a scalar or an array broadcastable to

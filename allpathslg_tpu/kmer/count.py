@@ -21,8 +21,10 @@ reference's multi-pass parcels become streamed device batches).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -81,6 +83,7 @@ def spectrum_from_counts(counts: jnp.ndarray, max_freq: int = 255) -> jnp.ndarra
                                num_segments=max_freq + 1)
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
 def count_reads(codes: jnp.ndarray, K: int,
                 quals: Optional[jnp.ndarray] = None) -> CountedKmers:
     """Canonical K-mer counts of one read batch as a compact padded table.
@@ -129,6 +132,7 @@ def compact_table(skeys, counts, starts, qsum=None) -> CountedKmers:
                         n_unique=n_unique)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "max_freq"))
 def spectrum_reads(codes: jnp.ndarray, K: int, max_freq: int = 255):
     """Fast path: spectrum + n_unique without building the compact table."""
     canon, valid = kmerize.kmer_windows(codes, K)
@@ -138,19 +142,64 @@ def spectrum_reads(codes: jnp.ndarray, K: int, max_freq: int = 255):
     return spec, jnp.sum((counts > 0).astype(jnp.int32))
 
 
-def merge_counted(a: CountedKmers, b: CountedKmers) -> CountedKmers:
-    """Merge two counted tables (same K), summing counts on equal keys."""
-    words = [jnp.concatenate([wa, wb]) for wa, wb in zip(a.words, b.words)]
-    counts = jnp.concatenate([a.counts, b.counts])
-    have_q = a.qsum is not None and b.qsum is not None
-    pay = [counts] + ([jnp.concatenate([a.qsum, b.qsum])] if have_q else [])
+@jax.jit
+def recount_table(words, counts, qsum=None) -> CountedKmers:
+    """Re-aggregate a (possibly duplicated, unsorted) kmer table: sum counts
+    on equal keys and compact."""
+    pay = [counts] + ([qsum] if qsum is not None else [])
     skeys, spay = ops_sort.sort_by_words(words, pay)
     starts = ops_sort.run_starts(skeys)
     rl = segmented.run_lengths(starts)  # runs of table rows, not kmer counts
     real = ~bits.is_sentinel(skeys) & (spay[0] > 0)
     csum = jnp.where(real, _sum_per_run(spay[0], starts, rl), 0)
-    qsum = jnp.where(real, _sum_per_run(spay[1], starts, rl), 0) if have_q else None
-    return compact_table(skeys, csum, starts, qsum)
+    qs = jnp.where(real, _sum_per_run(spay[1], starts, rl), 0) if qsum is not None else None
+    return compact_table(skeys, csum, starts, qs)
+
+
+@jax.jit
+def merge_counted(a: CountedKmers, b: CountedKmers) -> CountedKmers:
+    """Merge two counted tables (same K), summing counts on equal keys."""
+    words = [jnp.concatenate([wa, wb]) for wa, wb in zip(a.words, b.words)]
+    counts = jnp.concatenate([a.counts, b.counts])
+    have_q = a.qsum is not None and b.qsum is not None
+    qsum = jnp.concatenate([a.qsum, b.qsum]) if have_q else None
+    return recount_table(words, counts, qsum)
+
+
+def count_reads_streaming(codes: "np.ndarray", K: int,
+                          quals: "np.ndarray" = None,
+                          batch_size: int = 65536) -> CountedKmers:
+    """Host driver for large read sets: count per fixed-size batch on device,
+    buffer trimmed per-batch tables on host, re-aggregate in ONE final device
+    pass (the reference's multi-pass parcels, ref: KmerParcelsBuilder, with
+    host RAM as the spill space). Avoids per-batch merge recompiles."""
+    n = codes.shape[0]
+    parts = []
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        cb = np.asarray(codes[s:e])
+        qb = None if quals is None else np.asarray(quals[s:e])
+        if e - s < batch_size:  # pad the tail batch to the static shape
+            pad = batch_size - (e - s)
+            cb = np.concatenate([cb, np.full((pad, cb.shape[1]), 4, cb.dtype)])
+            if qb is not None:
+                qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+        ck = count_reads(jnp.asarray(cb), K,
+                         None if qb is None else jnp.asarray(qb))
+        t = trim_to_host(ck)
+        parts.append((np.stack([np.asarray(w) for w in t.words]),
+                      np.asarray(t.counts),
+                      None if t.qsum is None else np.asarray(t.qsum)))
+    W = parts[0][0].shape[0]
+    words = [jnp.asarray(np.concatenate([p[0][w] for p in parts]))
+             for w in range(W)]
+    counts = jnp.asarray(np.concatenate([p[1] for p in parts]))
+    have_q = parts[0][2] is not None
+    qsum = jnp.asarray(np.concatenate([p[2] for p in parts])) if have_q else None
+    if len(parts) == 1:
+        return CountedKmers(words=words, counts=counts, qsum=qsum,
+                            n_unique=jnp.asarray(counts.shape[0], jnp.int32))
+    return recount_table(words, counts, qsum)
 
 
 def trim_to_host(ck: CountedKmers) -> CountedKmers:

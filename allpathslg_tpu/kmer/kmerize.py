@@ -31,6 +31,28 @@ def _pack16_all_positions(codes_masked: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+def kmer_windows_fwd(codes: jnp.ndarray, K: int) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    """Forward-strand (non-canonical) K-mer windows: (fwd_words, valid)."""
+    N, L = codes.shape
+    P = L - K + 1
+    assert P >= 1, f"reads shorter than K={K}"
+    W = bits.n_words(K)
+    invalid = codes >= PAD_CODE
+    cm = jnp.where(invalid, 0, codes).astype(jnp.int32)
+    packed = _pack16_all_positions(jnp.pad(cm, ((0, 0), (0, 16))))
+    cs = jnp.cumsum(invalid.astype(jnp.int32), axis=1)
+    cs = jnp.pad(cs, ((0, 0), (1, 0)))
+    valid = (cs[:, K:] - cs[:, :-K]) == 0
+    lw_mask = U32(bits.last_word_mask(K))
+    fwd = []
+    for w in range(W):
+        word = packed[:, 16 * w : 16 * w + P]
+        if w == W - 1:
+            word = word & lw_mask
+        fwd.append(word)
+    return fwd, valid
+
+
 def kmer_windows(codes: jnp.ndarray, K: int) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """All canonical K-mers of a read batch.
 

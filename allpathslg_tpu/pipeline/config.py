@@ -1,0 +1,66 @@
+"""Typed configuration tree for the assembly pipeline.
+
+Replaces the reference's two-level flag system (ref: src/system/ParsedArgs.h
+`BeginCommandArguments` macros per stage + RunAllPathsLG KEY=VALUE pipeline
+overrides, SURVEY.md §5.6). The whole tree serializes into the run manifest
+for provenance, like the reference echoing its command line into logs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+from allpathslg_tpu.ec.precorrect import PrecorrectConfig
+from allpathslg_tpu.ec.spectrum_ec import SpectrumECConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblyConfig:
+    K: int = 96                     # main assembly kmer (ref: K=96)
+    K_ec: int = 24                  # error-correction kmer (ref: 24/25)
+    ploidy: int = 1
+    min_kmer_count: int = 2         # unipath graph multiplicity floor
+    batch_reads: int = 65536        # device batch for streamed stages
+    max_freq: int = 255             # spectrum clip
+    precorrect: PrecorrectConfig = PrecorrectConfig()
+    spectrum_ec: SpectrumECConfig = SpectrumECConfig()
+    min_contig_len: int = 0         # 0 → 2*K default at report time
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_overrides(**kw) -> "AssemblyConfig":
+        """Route KEY=VALUE overrides: top-level AssemblyConfig fields first,
+        then sub-config fields (prefix with `ec_`/`pc_` to disambiguate)."""
+        base = AssemblyConfig()
+        topf = {f.name for f in dataclasses.fields(AssemblyConfig)}
+        pc = {f.name for f in dataclasses.fields(PrecorrectConfig)}
+        ec = {f.name for f in dataclasses.fields(SpectrumECConfig)}
+        top, pco, eco = {}, {}, {}
+        for k, v in kw.items():
+            if k.startswith("pc_") and k[3:] in pc:
+                pco[k[3:]] = v
+            elif k.startswith("ec_") and k[3:] in ec:
+                eco[k[3:]] = v
+            elif k in topf:
+                top[k] = v
+            elif k in pc:
+                pco[k] = v
+            elif k in ec:
+                eco[k] = v
+            else:
+                raise ValueError(f"unknown config override: {k}")
+        cfg = dataclasses.replace(
+            base,
+            precorrect=dataclasses.replace(base.precorrect, **pco),
+            spectrum_ec=dataclasses.replace(base.spectrum_ec, **eco),
+            **top,
+        )
+        # keep the EC kmer size tied to K_ec unless explicitly overridden
+        if "K" not in eco:
+            cfg = dataclasses.replace(
+                cfg, spectrum_ec=dataclasses.replace(cfg.spectrum_ec, K=cfg.K_ec))
+        return cfg

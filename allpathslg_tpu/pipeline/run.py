@@ -1,0 +1,151 @@
+"""Pipeline CLI — the RunAllPathsLG analog.
+
+Usage (simulated input, the built-in test oracle):
+  python -m allpathslg_tpu.pipeline.run --run-dir /tmp/run1 --sim-genome 100000 \
+      --coverage 50 --error-rate 0.005 [--k 96] [KEY=VALUE ...]
+
+Real input:
+  python -m allpathslg_tpu.pipeline.run --run-dir /tmp/run2 \
+      --frag-fastq r1.fastq r2.fastq [KEY=VALUE ...]
+
+KEY=VALUE pairs override any AssemblyConfig field (ref: RunAllPathsLG's
+ArachneArgs KEY=VALUE forwarding, SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from allpathslg_tpu.pipeline.config import AssemblyConfig
+from allpathslg_tpu.pipeline.rundir import RunDir
+from allpathslg_tpu.pipeline.stages import Pipeline
+
+
+def _log_factory(rd: RunDir):
+    logf = open(rd.file_path("pipeline.log"), "a")
+
+    def log(*a):
+        msg = " ".join(str(x) for x in a)
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        line = f"{stamp} {msg}"
+        print(line, flush=True)
+        logf.write(line + "\n")
+        logf.flush()
+
+    return log
+
+
+def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
+                       error_rate: float, read_len: int, seed: int, log,
+                       jump_coverage: float = 0.0, jump_insert: int = 3000,
+                       jump_sd: int = 300):
+    """PrepareAllPathsInputs analog for simulated data; also stores truth."""
+    from allpathslg_tpu.eval import sim
+
+    genome = sim.random_genome(genome_size, seed=seed)
+    batch, pairs, truth = sim.simulate_paired_reads(
+        genome, coverage=coverage, read_len=read_len,
+        error_rate=error_rate, seed=seed + 1)
+    rd.save_arrays("frag_reads_orig",
+                   codes=np.asarray(batch.codes),
+                   lengths=np.asarray(batch.lengths),
+                   quals=np.asarray(batch.quals),
+                   pairs=np.asarray(pairs.pairs))
+    rd.save_arrays("genome_truth", genome=genome)
+    log(f"[prepare] simulated genome={genome_size} reads={batch.n_reads}")
+    if jump_coverage > 0:
+        jb, jp, jt = sim.simulate_paired_reads(
+            genome, coverage=jump_coverage, read_len=read_len,
+            error_rate=error_rate, insert_mean=jump_insert,
+            insert_sd=jump_sd, outward=True, seed=seed + 2)
+        rd.save_arrays("jump_reads_orig",
+                       codes=np.asarray(jb.codes),
+                       lengths=np.asarray(jb.lengths),
+                       quals=np.asarray(jb.quals),
+                       pairs=np.asarray(jp.pairs),
+                       lib_sep=np.array([jump_insert], np.int32),
+                       lib_sd=np.array([jump_sd], np.int32))
+        log(f"[prepare] simulated jump lib reads={jb.n_reads} "
+            f"insert={jump_insert}±{jump_sd}")
+
+
+def prepare_fastq_inputs(rd: RunDir, fastqs, log):
+    from allpathslg_tpu.io import fasta as fio
+
+    all_seqs, all_quals = [], []
+    for path in fastqs:
+        s, q = fio.read_fastq(path)
+        all_seqs.extend(s)
+        all_quals.extend(q)
+    from allpathslg_tpu.dtypes.reads import batch_from_strings
+    lmax = max(len(s) for s in all_seqs)
+    n = len(all_seqs)
+    codes = np.full((n, lmax), 4, np.uint8)
+    quals = np.zeros((n, lmax), np.uint8)
+    lengths = np.zeros(n, np.int32)
+    for i, (s, q) in enumerate(zip(all_seqs, all_quals)):
+        codes[i, : len(s)] = s
+        quals[i, : len(q)] = q
+        lengths[i] = len(s)
+    # interleaved pairing convention: (0,1), (2,3), ...
+    pairs = np.stack([np.arange(0, n - 1, 2), np.arange(1, n, 2)], 1).astype(np.int32)
+    rd.save_arrays("frag_reads_orig", codes=codes, lengths=lengths,
+                   quals=quals, pairs=pairs)
+    log(f"[prepare] imported {n} reads from {len(fastqs)} fastq files")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native ALLPATHS-class assembler")
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--sim-genome", type=int, default=0)
+    ap.add_argument("--coverage", type=float, default=50.0)
+    ap.add_argument("--error-rate", type=float, default=0.005)
+    ap.add_argument("--read-len", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--frag-fastq", nargs="*", default=[])
+    ap.add_argument("--jump-coverage", type=float, default=0.0)
+    ap.add_argument("--jump-insert", type=int, default=3000)
+    ap.add_argument("--jump-sd", type=int, default=300)
+    ap.add_argument("--k", type=int, default=96)
+    ap.add_argument("overrides", nargs="*", help="KEY=VALUE config overrides")
+    args = ap.parse_args(argv)
+
+    over = {}
+    for kv in args.overrides:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except Exception:
+            pass
+        over[k] = v
+    cfg = AssemblyConfig.from_overrides(K=args.k, **over)
+
+    rd = RunDir(args.run_dir)
+    log = _log_factory(rd)
+    log(f"config: {cfg.to_json()}")
+
+    if not rd.has("frag_reads_orig"):
+        if args.sim_genome:
+            prepare_sim_inputs(rd, args.sim_genome, args.coverage,
+                               args.error_rate, args.read_len, args.seed, log,
+                               jump_coverage=args.jump_coverage,
+                               jump_insert=args.jump_insert,
+                               jump_sd=args.jump_sd)
+        elif args.frag_fastq:
+            prepare_fastq_inputs(rd, args.frag_fastq, log)
+        else:
+            ap.error("need --sim-genome or --frag-fastq (or an existing run dir)")
+
+    pipe = Pipeline(rd, cfg, log)
+    final = pipe.run_full()
+    log(f"final: {final}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,518 @@
+"""Pipeline stages: the module DAG of SURVEY.md §2.5 as resumable functions.
+
+Each stage mirrors one reference executable's behavior contract; the
+stage-to-stage interface is named array artifacts in the run directory
+(the reference's DATA/RUN binary-file contract, ref: RunAllPathsLG).
+
+Implemented (minimum slice + growing):
+  validate_inputs     (ref: ValidateAllPathsInputs)
+  remove_dodgy        (ref: RemoveDodgyReads)
+  precorrect          (ref: FindErrors phase 1 / PreCorrect)
+  find_errors         (ref: FindErrors phase 2)
+  clean_reads         (ref: CleanCorrectedReads)
+  unipaths            (ref: CommonPather + Unipather at K=96)
+  report              (ref: reporting/ BasicAssemblyStats → assembly.report)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List
+
+import numpy as np
+import jax.numpy as jnp
+
+from allpathslg_tpu.dtypes.reads import batch_from_codes
+from allpathslg_tpu.ec import precorrect as pc
+from allpathslg_tpu.ec import spectrum_ec as sec
+from allpathslg_tpu.eval import stats
+from allpathslg_tpu.graph import unipath
+from allpathslg_tpu.io import fasta as fio
+from allpathslg_tpu.kmer import count as kcount
+from allpathslg_tpu.kmer import spectrum as kspec
+from allpathslg_tpu.pipeline.config import AssemblyConfig
+from allpathslg_tpu.pipeline.rundir import RunDir
+
+
+def _batched(codes, quals, batch_size):
+    n = codes.shape[0]
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        yield s, e
+
+
+def _pad_batch(arr, batch_size, pad_value):
+    n = arr.shape[0]
+    if n % batch_size == 0:
+        return arr, n
+    pad = batch_size - n % batch_size
+    padding = np.full((pad,) + arr.shape[1:], pad_value, dtype=arr.dtype)
+    return np.concatenate([arr, padding]), n
+
+
+class Pipeline:
+    """Stage DAG executor with manifest-based resume (ref: make dependency
+    semantics of RunAllPathsLG, SURVEY.md §3.1/§5.4)."""
+
+    def __init__(self, rd: RunDir, cfg: AssemblyConfig, log: Callable = print):
+        self.rd = rd
+        self.cfg = cfg
+        self.log = log
+
+    def run_stage(self, name: str, inputs_hash: str, outputs: List[str], fn):
+        if self.rd.stage_done(name, inputs_hash, outputs):
+            self.log(f"[{name}] up to date, skipping")
+            return self.rd.metrics(name)
+        t0 = time.time()
+        self.log(f"[{name}] running...")
+        metrics = fn() or {}
+        dt = time.time() - t0
+        self.rd.mark_done(name, inputs_hash, outputs, metrics, dt)
+        self.log(f"[{name}] done in {dt:.1f}s {metrics}")
+        return metrics
+
+    # ---- stages ----
+
+    def validate_inputs(self):
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("validate", cfg.K_ec, self._art_hash("frag_reads_orig"))
+
+        def fn():
+            a = rd.load_arrays("frag_reads_orig")
+            batch = batch_from_codes(a["codes"], a["lengths"], a.get("quals"))
+            ck_acc = kcount.count_reads_streaming(
+                np.asarray(batch.codes), cfg.K_ec, batch_size=cfg.batch_reads)
+            spec = np.asarray(kcount.spectrum(ck_acc, cfg.max_freq))
+            ana = kspec.analyze(spec)
+            rd.save_arrays("kspec_25mer", spectrum=spec)
+            if int(a["lengths"].min()) < cfg.K_ec:
+                raise ValueError("reads shorter than K_ec")
+            return {
+                "n_reads": int(batch.n_reads),
+                "genome_size_est": ana.genome_size_est,
+                "coverage_est": ana.coverage_est,
+                "spectrum_valley": ana.valley,
+                "spectrum_peak": ana.peak,
+                "frac_repetitive": round(ana.frac_repetitive, 4),
+            }
+
+        return self.run_stage("validate_inputs", ih, ["kspec_25mer.npz"], fn)
+
+    def remove_dodgy(self):
+        """Drop exact-duplicate pairs and reads with many ambiguous bases
+        (ref: RemoveDodgyReads — dedup, poly-A, N-rich)."""
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("remove_dodgy", self._art_hash("frag_reads_orig"))
+
+        def fn():
+            a = rd.load_arrays("frag_reads_orig")
+            codes, lengths = a["codes"], a["lengths"]
+            quals = a.get("quals")
+            pairs = a.get("pairs")
+            n = codes.shape[0]
+            n_amb = (codes == 4).sum(axis=1) - (codes.shape[1] - lengths)
+            ok = n_amb <= 0.1 * np.maximum(lengths, 1)
+            # poly-A guard: >90% A or >90% T
+            frac_a = (codes == 0).sum(axis=1) / np.maximum(lengths, 1)
+            frac_t = (codes == 3).sum(axis=1) / np.maximum(lengths, 1)
+            ok &= (frac_a < 0.9) & (frac_t < 0.9)
+            if pairs is not None and len(pairs):
+                # duplicate pairs: identical (r1,r2) byte content
+                h1 = np.array([hash(codes[i].tobytes()) for i in pairs[:, 0]])
+                h2 = np.array([hash(codes[i].tobytes()) for i in pairs[:, 1]])
+                _, first_idx = np.unique(np.stack([h1, h2], 1), axis=0,
+                                         return_index=True)
+                dup = np.ones(len(pairs), bool)
+                dup[first_idx] = False
+                for p in np.nonzero(dup)[0]:
+                    ok[pairs[p, 0]] = False
+                    ok[pairs[p, 1]] = False
+                # a pair survives only whole
+                pair_ok = ok[pairs[:, 0]] & ok[pairs[:, 1]]
+                for p in np.nonzero(~pair_ok)[0]:
+                    ok[pairs[p, 0]] = False
+                    ok[pairs[p, 1]] = False
+            lengths = np.where(ok, lengths, 0).astype(np.int32)
+            out = {"codes": codes, "lengths": lengths}
+            if quals is not None:
+                out["quals"] = quals
+            if pairs is not None:
+                out["pairs"] = pairs
+                out["pair_ok"] = ok[pairs[:, 0]] if len(pairs) else np.zeros(0, bool)
+            rd.save_arrays("frag_reads_filt", **out)
+            return {"n_reads_in": int(n), "n_reads_kept": int(ok.sum())}
+
+        return self.run_stage("remove_dodgy", ih, ["frag_reads_filt.npz"], fn)
+
+    def precorrect(self):
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("precorrect", str(cfg.precorrect),
+                        self._art_hash("frag_reads_filt"))
+
+        def fn():
+            a = rd.load_arrays("frag_reads_filt")
+            codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
+            quals, _ = _pad_batch(a["quals"], cfg.batch_reads, 0)
+            out = np.empty_like(codes)
+            total = 0
+            for s, e in _batched(codes, None, cfg.batch_reads):
+                c, n = pc.precorrect(jnp.asarray(codes[s:e]),
+                                     jnp.asarray(quals[s:e]), cfg.precorrect)
+                out[s:e] = np.asarray(c)
+                total += int(n)
+            rd.save_arrays("frag_reads_prec", codes=out[:n_real],
+                           lengths=a["lengths"], quals=a["quals"],
+                           **({"pairs": a["pairs"]} if "pairs" in a else {}))
+            return {"n_corrections": total}
+
+        return self.run_stage("precorrect", ih, ["frag_reads_prec.npz"], fn)
+
+    def find_errors(self):
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("find_errors", str(cfg.spectrum_ec),
+                        self._art_hash("frag_reads_prec"))
+
+        def fn():
+            a = rd.load_arrays("frag_reads_prec")
+            ecfg = cfg.spectrum_ec
+            codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
+            quals, _ = _pad_batch(a["quals"], cfg.batch_reads, 0)
+            total = 0
+            # global strong table per round over all batches, then correct
+            for r in range(ecfg.rounds):
+                ck_acc = kcount.count_reads_streaming(
+                    codes, ecfg.K, quals, batch_size=cfg.batch_reads)
+                table, n_strong = sec.strong_table(ck_acc, ecfg)
+                n_round = 0
+                for s, e in _batched(codes, None, cfg.batch_reads):
+                    c, n = sec.correct_round(jnp.asarray(codes[s:e]),
+                                             jnp.asarray(quals[s:e]), table, ecfg)
+                    codes[s:e] = np.asarray(c)
+                    n_round += int(n)
+                total += n_round
+                self.log(f"  [find_errors] round {r}: n_strong={int(n_strong)} "
+                         f"fixes={n_round}")
+            np.save(rd.file_path("strong_table.npy"),
+                    np.stack([np.asarray(w) for w in table]))
+            rd.save_arrays("frag_reads_edit", codes=codes[:n_real],
+                           lengths=a["lengths"], quals=a["quals"],
+                           **({"pairs": a["pairs"]} if "pairs" in a else {}))
+            return {"n_corrections": total, "n_strong_kmers": int(n_strong)}
+
+        return self.run_stage("find_errors", ih,
+                              ["frag_reads_edit.npz", "strong_table.npy"], fn)
+
+    def clean_reads(self):
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("clean", str(cfg.spectrum_ec),
+                        self._art_hash("frag_reads_edit"))
+
+        def fn():
+            a = rd.load_arrays("frag_reads_edit")
+            ecfg = cfg.spectrum_ec
+            table_np = np.load(rd.file_path("strong_table.npy"))
+            table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
+            codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
+            lengths, _ = _pad_batch(a["lengths"], cfg.batch_reads, 0)
+            out_c = np.empty_like(codes)
+            out_l = np.empty_like(lengths)
+            kept = 0
+            for s, e in _batched(codes, None, cfg.batch_reads):
+                c, l, k = sec.clean_reads(jnp.asarray(codes[s:e]),
+                                          jnp.asarray(lengths[s:e]), table, ecfg)
+                out_c[s:e] = np.asarray(c)
+                out_l[s:e] = np.asarray(l)
+                kept += int(k)
+            rd.save_arrays("frag_reads_corr", codes=out_c[:n_real],
+                           lengths=out_l[:n_real], quals=a["quals"],
+                           **({"pairs": a["pairs"]} if "pairs" in a else {}))
+            return {"n_reads_kept": kept}
+
+        return self.run_stage("clean_reads", ih, ["frag_reads_corr.npz"], fn)
+
+    def fill_fragments(self):
+        """Merge overlapping fragment pairs into filled super-reads
+        (ref: FillFragments); unfillable pairs pass through unchanged."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.asm import fill as afill
+        from allpathslg_tpu.eval import sim as _sim  # noqa: F401
+
+        ih = rd.hash_of("fill", self._art_hash("frag_reads_corr"))
+
+        def fn():
+            a = rd.load_arrays("frag_reads_corr")
+            codes, lengths, quals = a["codes"], a["lengths"], a["quals"]
+            pairs = a.get("pairs")
+            if pairs is None or not len(pairs):
+                rd.save_arrays("filled_reads", codes=codes, lengths=lengths,
+                               quals=quals)
+                return {"n_filled": 0, "n_passthrough": codes.shape[0]}
+            fcfg = afill.FillConfig()
+            out_len = fcfg.insert_hi
+            P = len(pairs)
+            B = max(1, cfg.batch_reads // 4)
+            p_pad, n_real_p = _pad_batch(pairs, B, 0)
+            m_codes = np.empty((len(p_pad), out_len), np.uint8)
+            m_quals = np.empty((len(p_pad), out_len), np.uint8)
+            m_len = np.empty(len(p_pad), np.int32)
+            m_ok = np.empty(len(p_pad), bool)
+            for s, e in _batched(p_pad, None, B):
+                pp = p_pad[s:e]
+                c, q, l, ok = afill.fill_pairs(
+                    jnp.asarray(codes[pp[:, 0]]), jnp.asarray(quals[pp[:, 0]]),
+                    jnp.asarray(lengths[pp[:, 0]]),
+                    jnp.asarray(codes[pp[:, 1]]), jnp.asarray(quals[pp[:, 1]]),
+                    jnp.asarray(lengths[pp[:, 1]]), fcfg, out_len)
+                m_codes[s:e] = np.asarray(c)
+                m_quals[s:e] = np.asarray(q)
+                m_len[s:e] = np.asarray(l)
+                m_ok[s:e] = np.asarray(ok)
+            m_codes = m_codes[:n_real_p]
+            m_quals = m_quals[:n_real_p]
+            m_len = m_len[:n_real_p]
+            m_ok = m_ok[:n_real_p]
+            # output: filled rows + passthrough originals for failed pairs
+            bad = ~m_ok
+            pass_idx = np.concatenate([pairs[bad, 0], pairs[bad, 1]])
+            L = codes.shape[1]
+            pc_ = np.full((len(pass_idx), out_len), 4, np.uint8)
+            pq_ = np.zeros((len(pass_idx), out_len), np.uint8)
+            pc_[:, :L] = codes[pass_idx]
+            pq_[:, :L] = quals[pass_idx]
+            out_codes = np.concatenate([m_codes[m_ok], pc_])
+            out_quals = np.concatenate([m_quals[m_ok], pq_])
+            out_lens = np.concatenate([m_len[m_ok], lengths[pass_idx]]).astype(np.int32)
+            rd.save_arrays("filled_reads", codes=out_codes, lengths=out_lens,
+                           quals=out_quals)
+            return {"n_pairs": int(P), "n_filled": int(m_ok.sum()),
+                    "n_passthrough": int(len(pass_idx)),
+                    "fill_rate": round(float(m_ok.mean()), 3)}
+
+        return self.run_stage("fill_fragments", ih, ["filled_reads.npz"], fn)
+
+    def unipaths(self):
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("unipaths", cfg.K, cfg.min_kmer_count,
+                        self._art_hash("filled_reads"))
+
+        def fn():
+            a = rd.load_arrays("filled_reads")
+            ck_acc = kcount.count_reads_streaming(
+                a["codes"], cfg.K, batch_size=cfg.batch_reads)
+            ck_acc = kcount.trim_to_host(ck_acc)
+            ups = unipath.build_unipaths(ck_acc.words, cfg.K,
+                                         min_count=cfg.min_kmer_count,
+                                         counts=ck_acc.counts)
+            rd.save_arrays("unibases", bases=ups.bases, offsets=ups.offsets,
+                           kmer_counts=ups.kmer_counts)
+            recs = [(f"unipath_{i}", ups.sequence(i)) for i in range(ups.n)]
+            fio.write_fasta(rd.file_path("unibases.fasta"), recs)
+            st = stats.assembly_stats(ups.lengths())
+            return {"n_unipaths": ups.n, "n50": st["n50"],
+                    "total_bases": st["total_bases"],
+                    "n_kmers": int(ck_acc.n_unique)}
+
+        return self.run_stage("unipaths", ih,
+                              ["unibases.npz", "unibases.fasta"], fn)
+
+    def jump_ec(self):
+        """ErrorCorrectJump: trusted-prefix truncation vs the corrected-read
+        kmer set, outie→innie flip, dedupe (ref: SURVEY.md §2.5 row 8)."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.ec import jump as jec
+
+        ih = rd.hash_of("jump_ec", self._art_hash("jump_reads_orig"),
+                        self._art_hash("frag_reads_edit"))
+
+        def fn():
+            if not rd.has("jump_reads_orig"):
+                return {"skipped": "no jump library"}
+            a = rd.load_arrays("jump_reads_orig")
+            table_np = np.load(rd.file_path("strong_table.npy"))
+            table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
+            c, q, l, pair_ok, m = jec.error_correct_jumps(
+                a["codes"], a["quals"], a["lengths"], a["pairs"], table)
+            rd.save_arrays("jump_reads_ec", codes=c, quals=q, lengths=l,
+                           pairs=a["pairs"], pair_ok=pair_ok,
+                           lib_sep=a.get("lib_sep", np.array([3000])),
+                           lib_sd=a.get("lib_sd", np.array([300])))
+            return m
+
+        return self.run_stage("jump_ec", ih, ["jump_reads_ec.npz"], fn)
+
+    def align_jumps(self):
+        """AlignPairsToHyper analog: place jump reads on the contig set as
+        alignlets (ref: SURVEY.md §2.5 row 16)."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.align import lookup as alook
+
+        ih = rd.hash_of("align_jumps", self._art_hash("jump_reads_ec"),
+                        self._art_hash("unibases"))
+
+        def fn():
+            if not rd.has("jump_reads_ec"):
+                return {"skipped": "no jump library"}
+            u = rd.load_arrays("unibases")
+            j = rd.load_arrays("jump_reads_ec")
+            index = alook.build_index(u["bases"], u["offsets"], K=cfg.K_ec)
+            acfg = alook.AlignConfig(K=cfg.K_ec)
+            # pad jump reads to a device batch multiple
+            codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
+            lens, _ = _pad_batch(j["lengths"], cfg.batch_reads, 0)
+            C = np.empty(len(codes), np.int32)
+            D = np.empty(len(codes), np.int32)
+            O = np.empty(len(codes), bool)
+            MM = np.empty(len(codes), np.int32)
+            OK = np.empty(len(codes), bool)
+            for s, e in _batched(codes, None, cfg.batch_reads):
+                c, d, o, mm, ok = alook.align_reads(
+                    index, codes[s:e], lens[s:e], acfg, u["bases"])
+                C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
+            rd.save_arrays("jump_alignlets", contig=C[:n_real],
+                           anchor=D[:n_real], is_rc=O[:n_real],
+                           mismatches=MM[:n_real], aligned=OK[:n_real])
+            return {"n_aligned": int(OK[:n_real].sum()),
+                    "align_rate": round(float(OK[:n_real].mean()), 3)}
+
+        return self.run_stage("align_jumps", ih, ["jump_alignlets.npz"], fn)
+
+    def make_scaffolds(self):
+        """MakeScaffolds + RemodelGaps (ref: SURVEY.md §2.5 rows 17-18)."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.scaffold import links as slinks
+        from allpathslg_tpu.scaffold import scaffolder, superb as ssb
+
+        ih = rd.hash_of("scaffolds", self._art_hash("jump_alignlets"),
+                        self._art_hash("unibases"))
+
+        def fn():
+            u = rd.load_arrays("unibases")
+            clens = np.diff(u["offsets"]).astype(np.int64)
+            if not rd.has("jump_alignlets"):
+                scaffolds = [ssb.Superb([i], [False], [], [])
+                             for i in range(len(clens))]
+            else:
+                al = rd.load_arrays("jump_alignlets")
+                j = rd.load_arrays("jump_reads_ec")
+                insert = int(j["lib_sep"][0])
+                insert_sd = int(j["lib_sd"][0])
+                lg = slinks.pair_links(al["contig"], al["anchor"], al["is_rc"],
+                                       al["aligned"], j["lengths"], j["pairs"],
+                                       clens, insert, insert_sd)
+                scaffolds = scaffolder.make_scaffolds(lg, len(clens))
+                scaffolds = scaffolder.remodel_gaps(scaffolds, lg)
+            ssb.write_superb(rd.file_path("assembly.superb"), scaffolds)
+            ssb.write_agp(rd.file_path("assembly.agp"), scaffolds, clens)
+            slens = [sb.length(clens) for sb in scaffolds]
+            from allpathslg_tpu.eval import stats as estats
+            st = estats.assembly_stats(slens)
+            return {"n_scaffolds": len(scaffolds),
+                    "scaffold_n50": st["n50"],
+                    "scaffold_total": st["total_bases"]}
+
+        return self.run_stage("make_scaffolds", ih,
+                              ["assembly.superb", "assembly.agp"], fn)
+
+    def finalize(self):
+        """Final assembly emission: scaffold FASTA + EFASTA
+        (ref: FlattenHKP outputs final.assembly.{fasta,efasta})."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.scaffold import superb as ssb
+        from allpathslg_tpu.io import efasta as eio
+
+        ih = rd.hash_of("finalize", self._art_hash("unibases"),
+                        rd.hash_of(str(rd.metrics("make_scaffolds"))))
+
+        def fn():
+            u = rd.load_arrays("unibases")
+            offs = u["offsets"]
+            contigs = [u["bases"][offs[i]:offs[i + 1]]
+                       for i in range(len(offs) - 1)]
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            recs = []
+            efrecs = []
+            for si, sb in enumerate(scaffolds):
+                seq = ssb.scaffold_sequence(sb, contigs)
+                recs.append((f"scaffold_{si}", seq))
+                from allpathslg_tpu.dtypes.reads import string_from_codes
+                efrecs.append((f"scaffold_{si}", [string_from_codes(seq)]))
+            fio.write_fasta(rd.file_path("final.assembly.fasta"), recs)
+            eio.write_efasta(rd.file_path("final.assembly.efasta"), efrecs)
+            return {"n_records": len(recs)}
+
+        return self.run_stage("finalize", ih,
+                              ["final.assembly.fasta", "final.assembly.efasta"],
+                              fn)
+
+    def report(self):
+        cfg, rd = self.cfg, self.rd
+        ih = rd.hash_of("report", self._art_hash("unibases"))
+
+        def fn():
+            u = rd.load_arrays("unibases")
+            lens = np.diff(u["offsets"])
+            min_len = cfg.min_contig_len or 2 * cfg.K
+            st = stats.assembly_stats(lens, min_len=min_len)
+            lines = ["allpathslg_tpu assembly report",
+                     "=" * 32]
+            for s in ["validate_inputs", "remove_dodgy", "precorrect",
+                      "find_errors", "clean_reads", "fill_fragments",
+                      "unipaths", "jump_ec", "align_jumps", "make_scaffolds"]:
+                m = self.rd.metrics(s)
+                if m:
+                    lines.append(f"[{s}] " + ", ".join(f"{k}={v}" for k, v in m.items()))
+            lines.append("")
+            lines.append(f"contigs (len >= {min_len}): {st['n_contigs']}")
+            lines.append(f"total bases: {st['total_bases']}")
+            lines.append(f"contig N50: {st['n50']}")
+            lines.append(f"contig N90: {st['n90']}")
+            lines.append(f"max contig: {st['max_len']}")
+            sm = self.rd.metrics("make_scaffolds")
+            if sm and "scaffold_n50" in sm:
+                lines.append(f"scaffolds: {sm['n_scaffolds']}")
+                lines.append(f"scaffold N50: {sm['scaffold_n50']}")
+                lines.append(f"scaffold total: {sm['scaffold_total']}")
+            with open(rd.file_path("assembly.report"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            self.log("\n".join(lines))
+            return {k: (int(v) if isinstance(v, (int, np.integer)) else float(v))
+                    for k, v in st.items()}
+
+        return self.run_stage("report", ih, ["assembly.report"], fn)
+
+    # ---- helpers ----
+    def _art_hash(self, name: str) -> str:
+        """Cheap artifact fingerprint: file size + mtime."""
+        import os
+        p = self.rd._file(name)
+        if not os.path.exists(p):
+            return "missing"
+        s = os.stat(p)
+        return f"{s.st_size}:{int(s.st_mtime)}"
+
+    def run_contig_slice(self) -> Dict:
+        """The §7.3 minimum slice: inputs → contigs + report."""
+        self.validate_inputs()
+        self.remove_dodgy()
+        self.precorrect()
+        self.find_errors()
+        self.clean_reads()
+        self.fill_fragments()
+        self.unipaths()
+        return self.report()
+
+    def run_full(self) -> Dict:
+        """Full pipeline: contigs + jump scaffolding + final assembly."""
+        self.validate_inputs()
+        self.remove_dodgy()
+        self.precorrect()
+        self.find_errors()
+        self.clean_reads()
+        self.fill_fragments()
+        self.unipaths()
+        if self.rd.has("jump_reads_orig"):
+            self.jump_ec()
+            self.align_jumps()
+        self.make_scaffolds()
+        self.finalize()
+        return self.report()

@@ -1,0 +1,119 @@
+"""Contig link accumulation from jump-pair alignlets.
+
+Behavior contract (ref: src/paths/BuildUnipathLinkGraphsLG.cc and the link
+half of MakeScaffolds — SURVEY.md §2.4/§3.5): every jump pair whose mates
+align to different contigs contributes one link between oriented contigs
+with an implied gap; links aggregate per oriented pair into (count, mean
+gap, gap deviation) edges.
+
+Orientation algebra (innie pairs after jump EC: r1 reads genome-forward at
+the insert's left end, r2 genome-reverse at its right end; alignlet anchors
+from align/lookup.py are the contig coordinate of READ BASE 0 for both
+orientations):
+
+  scaffold form:  A' ... gap ... B'   (both genome-forward)
+  A' = A   if r1 fwd on A (o1=False)  else rc(A);   A-flag oa = o1
+  B' = B   if r2 rc  on B (o2=True)   else rc(B);   B-flag ob = not o2
+  s1' = o1 ? La-1-a1 : a1          (r1 base 0 in A' coords)
+  t2  = o2 ? a2      : Lb-1-a2     (r2 base 0 in B' coords)
+  insert = (La - s1') + gap + (t2 + 1)   →   gap = insert - (La-s1') - t2 - 1
+
+Each physical link equals its reverse (B,¬ob)→(A,¬oa); edges canonicalize
+to the smaller contig id first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class LinkGraph:
+    """Aggregated oriented links (host arrays). Edge meaning: contig a
+    (reverse-complemented iff oa) is followed by contig b (rc iff ob)."""
+    a: np.ndarray          # int32 [E]
+    b: np.ndarray          # int32 [E]
+    oa: np.ndarray         # bool  [E]
+    ob: np.ndarray         # bool  [E]
+    n_pairs: np.ndarray    # int32 [E]
+    gap_mean: np.ndarray   # float [E]
+    gap_sd: np.ndarray     # float [E]
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.a)
+
+
+def pair_links(contig, anchor, is_rc, aligned, read_lens,
+               pairs: np.ndarray, contig_lens: np.ndarray,
+               insert: int, insert_sd: int,
+               max_gap_dev: float = 5.0) -> LinkGraph:
+    """Aggregate jump-pair links into the oriented contig link graph."""
+    contig = np.asarray(contig)
+    anchor = np.asarray(anchor)
+    is_rc = np.asarray(is_rc)
+    aligned = np.asarray(aligned)
+    clens = np.asarray(contig_lens).astype(np.int64)
+
+    r1 = pairs[:, 0]
+    r2 = pairs[:, 1]
+    ok = aligned[r1] & aligned[r2] & (contig[r1] != contig[r2])
+    r1, r2 = r1[ok], r2[ok]
+    A, B = contig[r1], contig[r2]
+    o1, o2 = is_rc[r1], is_rc[r2]
+    a1, a2 = anchor[r1].astype(np.int64), anchor[r2].astype(np.int64)
+    La, Lb = clens[A], clens[B]
+
+    oa = o1
+    ob = ~o2
+    s1p = np.where(o1, La - 1 - a1, a1)
+    t2 = np.where(o2, a2, Lb - 1 - a2)
+    gap = insert - (La - s1p) - t2 - 1
+
+    # drop absurd implied gaps (mates far inside huge contigs w/ wrong orient)
+    sane = (gap > -insert) & (gap < 2 * insert)
+    A, B, oa, ob, gap = A[sane], B[sane], oa[sane], ob[sane], gap[sane]
+
+    # canonicalize: smaller contig id first (reverse edge = flip both flags
+    # and swap)
+    swap = B < A
+    A2 = np.where(swap, B, A)
+    B2 = np.where(swap, A, B)
+    oa2 = np.where(swap, ~ob, oa)
+    ob2 = np.where(swap, ~oa, ob)
+
+    key = (A2.astype(np.int64) << 34) | (B2.astype(np.int64) << 2) \
+        | (oa2.astype(np.int64) << 1) | ob2.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    gap_s = gap[order].astype(np.float64)
+    if len(key_s) == 0:
+        z = np.zeros(0)
+        return LinkGraph(z.astype(np.int32), z.astype(np.int32),
+                         z.astype(bool), z.astype(bool), z.astype(np.int32),
+                         z, z)
+    starts = np.ones(len(key_s), bool)
+    starts[1:] = key_s[1:] != key_s[:-1]
+    seg = np.cumsum(starts) - 1
+    n_seg = int(seg[-1]) + 1
+    cnt = np.bincount(seg, minlength=n_seg)
+    gsum = np.bincount(seg, weights=gap_s, minlength=n_seg)
+    g2 = np.bincount(seg, weights=gap_s ** 2, minlength=n_seg)
+    mean = gsum / np.maximum(cnt, 1)
+    var = g2 / np.maximum(cnt, 1) - mean ** 2
+    sd = np.where(cnt > 1, np.sqrt(np.maximum(var, 1.0)),
+                  float(insert_sd))
+
+    ks = key_s[starts]
+    return LinkGraph(
+        a=(ks >> 34).astype(np.int32),
+        b=((ks >> 2) & ((1 << 32) - 1)).astype(np.int32),
+        oa=((ks >> 1) & 1).astype(bool),
+        ob=(ks & 1).astype(bool),
+        n_pairs=cnt.astype(np.int32),
+        gap_mean=mean,
+        gap_sd=sd / np.sqrt(np.maximum(cnt, 1)),
+    )

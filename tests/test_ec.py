@@ -1,0 +1,103 @@
+"""Error-correction behavior tests on simulated reads with known truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from allpathslg_tpu.dtypes.reads import batch_from_codes
+from allpathslg_tpu.eval import sim
+from allpathslg_tpu.ec import precorrect as pc
+from allpathslg_tpu.ec import spectrum_ec as sec
+
+
+def _simulated(coverage=45, err=0.008, G=20_000, seed=5):
+    genome = sim.random_genome(G, seed=seed)
+    batch, pairs, truth = sim.simulate_paired_reads(
+        genome, coverage=coverage, error_rate=err, seed=seed + 1)
+    return genome, batch, truth
+
+
+def _true_codes(truth, batch):
+    """Error-free read codes reconstructed from truth."""
+    n, L = batch.codes.shape
+    out = np.empty((n, L), dtype=np.uint8)
+    g = truth.genome
+    for i in range(n):
+        s = truth.read_starts[i]
+        seg = g[s : s + L]
+        out[i] = (3 - seg)[::-1] if truth.read_rc[i] else seg
+    return out
+
+
+def test_precorrect_fixes_most_errors_without_new_ones():
+    genome, batch, truth = _simulated()
+    codes = np.asarray(batch.codes)
+    true = _true_codes(truth, batch)
+    err_before = int((codes != true).sum())
+    assert err_before > 0
+
+    fixed, n_corr = pc.precorrect(batch.codes, batch.quals)
+    fixed = np.asarray(fixed)
+    err_after = int((fixed != true).sum())
+    # interior band only is correctable (first/last 12 bases lack context)
+    interior = slice(12, codes.shape[1] - 12)
+    int_before = int((codes[:, interior] != true[:, interior]).sum())
+    int_after = int((fixed[:, interior] != true[:, interior]).sum())
+    assert int_after < 0.35 * int_before, (int_before, int_after)
+    assert err_after <= err_before
+    # never introduces errors where the read was correct
+    newly_wrong = ((fixed != true) & (codes == true)).sum()
+    assert newly_wrong <= max(2, 0.001 * err_before), newly_wrong
+
+
+def test_spectrum_ec_fixes_remaining_errors():
+    genome, batch, truth = _simulated()
+    true = _true_codes(truth, batch)
+    codes1, _ = pc.precorrect(batch.codes, batch.quals)
+    before = int((np.asarray(codes1) != true).sum())
+
+    cfg = sec.SpectrumECConfig(rounds=2)
+    codes2, table, n_fixed = sec.find_errors(codes1, batch.quals, cfg)
+    after = int((np.asarray(codes2) != true).sum())
+    assert n_fixed > 0
+    assert after < 0.5 * before, (before, after)
+    newly_wrong = ((np.asarray(codes2) != true) & (np.asarray(codes1) == true)).sum()
+    assert newly_wrong <= max(2, 0.02 * before), newly_wrong
+
+
+def test_clean_reads_drops_uncorrectable():
+    genome, batch, truth = _simulated(err=0.01)
+    cfg = sec.SpectrumECConfig(rounds=2)
+    codes1, _ = pc.precorrect(batch.codes, batch.quals)
+    codes2, table, _ = sec.find_errors(codes1, batch.quals, cfg)
+    codes3, lengths3, n_kept = sec.clean_reads(codes2, batch.lengths, table, cfg)
+    n = batch.n_reads
+    assert int(n_kept) > 0.8 * n
+    # all kept reads: padding beyond length, no drop of pairing rows
+    codes3 = np.asarray(codes3)
+    lengths3 = np.asarray(lengths3)
+    assert codes3.shape[0] == n
+    for i in range(0, n, 97):
+        assert (codes3[i, lengths3[i]:] == 4).all()
+
+
+def test_ec_preserves_het_snps():
+    """Diploid safety: kmers from a het SNP at ~cov/2 stay strong → untouched."""
+    g1 = sim.random_genome(8000, seed=11)
+    g2 = sim.mutate_genome(g1, snp_rate=0.002, seed=12)
+    b1, _, t1 = sim.simulate_paired_reads(g1, coverage=25, error_rate=0.004, seed=13)
+    b2, _, t2 = sim.simulate_paired_reads(g2, coverage=25, error_rate=0.004, seed=14)
+    codes = np.concatenate([np.asarray(b1.codes), np.asarray(b2.codes)])
+    quals = np.concatenate([np.asarray(b1.quals), np.asarray(b2.quals)])
+    lengths = np.concatenate([np.asarray(b1.lengths), np.asarray(b2.lengths)])
+    batch = batch_from_codes(codes, lengths, quals)
+
+    true = np.concatenate([_true_codes(t1, b1), _true_codes(t2, b2)])
+    c1, _ = pc.precorrect(batch.codes, batch.quals)
+    cfg = sec.SpectrumECConfig(rounds=2)
+    c2, _, _ = sec.find_errors(c1, batch.quals, cfg)
+    # het positions must not be "corrected" to the other haplotype:
+    # count positions that were correct pre-EC but wrong after
+    newly_wrong = ((np.asarray(c2) != true) & (np.asarray(batch.codes) == true)).sum()
+    errs = (np.asarray(batch.codes) != true).sum()
+    assert newly_wrong <= max(3, 0.01 * errs), (newly_wrong, errs)
