@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -46,6 +46,7 @@ class Unipaths:
     bases: np.ndarray      # uint8 [total] concatenated unibase sequences
     offsets: np.ndarray    # int64 [n+1] start offsets into bases
     kmer_counts: np.ndarray  # int32 [n] kmers per unipath (len - K + 1)
+    mean_cov: Optional[np.ndarray] = None  # float [n] mean kmer multiplicity
 
     @property
     def n(self) -> int:
@@ -165,9 +166,11 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
     """Host driver: kmer table (sorted canonical, possibly padded with
     sentinels + counts) → unipaths with base sequences.
     """
+    counts_f = None
     if counts is not None:
         mask = np.asarray(counts) >= min_count
         tw = [jnp.asarray(np.asarray(w)[mask]) for w in table_words]
+        counts_f = np.asarray(counts)[mask]
     else:
         tw = [jnp.asarray(np.asarray(w)) for w in table_words]
     M = int(tw[0].shape[0])
@@ -200,8 +203,16 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
         jnp.asarray(order_np), jnp.asarray(chain_starts.astype(np.int32)),
         jnp.asarray(seq_off.astype(np.int32)), total)
 
+    # per-unipath mean kmer multiplicity (ref: UnipathCoverage input)
+    mean_cov = None
+    if counts_f is not None:
+        node_counts = counts_f[order_np >> 1]  # node -> its canonical kmer
+        csum = np.concatenate([[0], np.cumsum(node_counts)])
+        mean_cov = ((csum[chain_starts + lens] - csum[chain_starts])
+                    / np.maximum(lens, 1)).astype(np.float32)
+
     return Unipaths(bases=np.asarray(bases), offsets=seq_off,
-                    kmer_counts=lens.astype(np.int32))
+                    kmer_counts=lens.astype(np.int32), mean_cov=mean_cov)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "total"))

@@ -376,6 +376,86 @@ class Pipeline:
 
         return self.run_stage("align_jumps", ih, ["jump_alignlets.npz"], fn)
 
+    def _align_reads_to_contigs(self, reads_art: str, out_art: str):
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.align import lookup as alook
+
+        u = rd.load_arrays("unibases")
+        j = rd.load_arrays(reads_art)
+        index = alook.build_index(u["bases"], u["offsets"], K=cfg.K_ec)
+        acfg = alook.AlignConfig(K=cfg.K_ec)
+        codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
+        lens, _ = _pad_batch(j["lengths"], cfg.batch_reads, 0)
+        C = np.empty(len(codes), np.int32)
+        D = np.empty(len(codes), np.int32)
+        O = np.empty(len(codes), bool)
+        MM = np.empty(len(codes), np.int32)
+        OK = np.empty(len(codes), bool)
+        for s, e in _batched(codes, None, cfg.batch_reads):
+            c, d, o, mm, ok = alook.align_reads(
+                index, codes[s:e], lens[s:e], acfg, u["bases"])
+            C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
+        rd.save_arrays(out_art, contig=C[:n_real], anchor=D[:n_real],
+                       is_rc=O[:n_real], mismatches=MM[:n_real],
+                       aligned=OK[:n_real])
+        return {"n_aligned": int(OK[:n_real].sum()),
+                "align_rate": round(float(OK[:n_real].mean()), 3)}
+
+    def align_frags(self):
+        """Place filled fragment reads on the contigs (for patching/polish)."""
+        rd = self.rd
+        ih = rd.hash_of("align_frags", self._art_hash("filled_reads"),
+                        self._art_hash("unibases"))
+
+        def fn():
+            return self._align_reads_to_contigs("filled_reads",
+                                                "frag_alignlets")
+
+        return self.run_stage("align_frags", ih, ["frag_alignlets.npz"], fn)
+
+    def patch_gaps(self):
+        """PostPatcher: close scaffold junctions with read pileup extensions
+        + banded-DP validation; merged contigs raise contig N50."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.asm import patch as apatch
+        from allpathslg_tpu.scaffold import superb as ssb
+
+        ih = rd.hash_of("patch_gaps", self._art_hash("frag_alignlets"),
+                        self._art_hash("unibases"),
+                        self._art_hash("filled_reads"),
+                        rd.hash_of(str(rd.metrics("make_scaffolds"))))
+
+        def fn():
+            u = rd.load_arrays("unibases")
+            offs = u["offsets"]
+            contigs = [u["bases"][offs[i]:offs[i + 1]]
+                       for i in range(len(offs) - 1)]
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            al = rd.load_arrays("frag_alignlets")
+            fr = rd.load_arrays("filled_reads")
+            new_contigs, new_scaffolds, n_closed = apatch.patch_scaffold_gaps(
+                scaffolds, contigs, fr["codes"], fr["lengths"],
+                al["contig"], al["anchor"], al["is_rc"], al["aligned"])
+            # emit final contig set = contigs referenced by scaffolds
+            used = sorted({c for sb in new_scaffolds for c in sb.contig_ids})
+            remap = {c: i for i, c in enumerate(used)}
+            bases = np.concatenate([np.asarray(new_contigs[c]) for c in used]) \
+                if used else np.zeros(0, np.uint8)
+            offsets = np.zeros(len(used) + 1, np.int64)
+            np.cumsum([len(new_contigs[c]) for c in used], out=offsets[1:])
+            for sb in new_scaffolds:
+                sb.contig_ids = [remap[c] for c in sb.contig_ids]
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            ssb.write_superb(rd.file_path("assembly.superb"), new_scaffolds)
+            ssb.write_agp(rd.file_path("assembly.agp"), new_scaffolds,
+                          np.diff(offsets))
+            return {"n_gaps_closed": int(n_closed),
+                    "n_contigs_final": len(used)}
+
+        return self.run_stage("patch_gaps", ih,
+                              ["contigs_final.npz", "assembly.superb",
+                               "assembly.agp"], fn)
+
     def make_scaffolds(self):
         """MakeScaffolds + RemodelGaps (ref: SURVEY.md §2.5 rows 17-18)."""
         cfg, rd = self.cfg, self.rd
@@ -424,7 +504,8 @@ class Pipeline:
                         rd.hash_of(str(rd.metrics("make_scaffolds"))))
 
         def fn():
-            u = rd.load_arrays("unibases")
+            u = rd.load_arrays("contigs_final") if rd.has("contigs_final") \
+                else rd.load_arrays("unibases")
             offs = u["offsets"]
             contigs = [u["bases"][offs[i]:offs[i + 1]]
                        for i in range(len(offs) - 1)]
@@ -449,7 +530,8 @@ class Pipeline:
         ih = rd.hash_of("report", self._art_hash("unibases"))
 
         def fn():
-            u = rd.load_arrays("unibases")
+            u = rd.load_arrays("contigs_final") if rd.has("contigs_final") \
+                else rd.load_arrays("unibases")
             lens = np.diff(u["offsets"])
             min_len = cfg.min_contig_len or 2 * cfg.K
             st = stats.assembly_stats(lens, min_len=min_len)
@@ -457,7 +539,8 @@ class Pipeline:
                      "=" * 32]
             for s in ["validate_inputs", "remove_dodgy", "precorrect",
                       "find_errors", "clean_reads", "fill_fragments",
-                      "unipaths", "jump_ec", "align_jumps", "make_scaffolds"]:
+                      "unipaths", "jump_ec", "align_jumps", "make_scaffolds",
+                      "align_frags", "patch_gaps"]:
                 m = self.rd.metrics(s)
                 if m:
                     lines.append(f"[{s}] " + ", ".join(f"{k}={v}" for k, v in m.items()))
@@ -514,5 +597,7 @@ class Pipeline:
             self.jump_ec()
             self.align_jumps()
         self.make_scaffolds()
+        self.align_frags()
+        self.patch_gaps()
         self.finalize()
         return self.report()

@@ -73,6 +73,19 @@ def test_full_pipeline_with_jumps(tmp_path_factory):
     assert sm["scaffold_n50"] >= cm["n50"]
     assert os.path.exists(rd.file_path("final.assembly.fasta"))
     assert os.path.exists(rd.file_path("assembly.agp"))
+    # patching should push contig N50 to scaffold scale and contigs must be
+    # exact genome substrings (base accuracy oracle)
+    assert cm["n50"] >= 0.8 * sm["scaffold_n50"], (cm, sm)
+    u = rd.load_arrays("contigs_final")
+    g = rd.load_arrays("genome_truth")["genome"]
+    gs = "".join(map(str, g))
+    offs = u["offsets"]
+    lens = np.diff(offs)
+    big = int(np.argmax(lens))
+    c = u["bases"][offs[big]:offs[big + 1]]
+    cs = "".join(map(str, c))
+    rcs = "".join(map(str, (3 - c)[::-1]))
+    assert gs.find(cs) >= 0 or gs.find(rcs) >= 0, "largest contig inexact"
 
 
 def test_resume_skips_completed_stages(e2e_run, capsys):
