@@ -45,6 +45,51 @@ def _rc(codes: np.ndarray) -> np.ndarray:
     return (3 - codes)[::-1].copy()
 
 
+def simulate_long_reads(
+    genome: np.ndarray,
+    coverage: float = 10.0,
+    mean_len: int = 8000,
+    min_len: int = 1000,
+    error_rate: float = 0.12,
+    seed: int = 9,
+):
+    """Noisy long reads (PacBio CLR-like): exponential lengths, errors split
+    ~ 50% ins / 30% del / 20% sub (ref long-read patching inputs,
+    Ribeiro 2012 workflow). Returns (list of code arrays, starts, rc)."""
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    n = max(1, int(coverage * G / mean_len))
+    reads, starts, rcs = [], [], []
+    for _ in range(n):
+        L = int(np.clip(rng.exponential(mean_len), min_len, 4 * mean_len))
+        L = min(L, G - 1)
+        s = int(rng.integers(0, G - L))
+        seq = genome[s : s + L].copy()
+        rc = bool(rng.integers(0, 2))
+        if rc:
+            seq = _rc(seq)
+        # inject errors
+        out = []
+        i = 0
+        while i < len(seq):
+            r = rng.random()
+            if r < error_rate * 0.5:          # insertion
+                out.append(rng.integers(0, 4))
+                continue
+            if r < error_rate * 0.8:          # deletion
+                i += 1
+                continue
+            if r < error_rate:                # substitution
+                out.append((seq[i] + rng.integers(1, 4)) % 4)
+            else:
+                out.append(seq[i])
+            i += 1
+        reads.append(np.asarray(out, np.uint8))
+        starts.append(s)
+        rcs.append(rc)
+    return reads, np.asarray(starts), np.asarray(rcs)
+
+
 def simulate_paired_reads(
     genome: np.ndarray,
     coverage: float = 50.0,

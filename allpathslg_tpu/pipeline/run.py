@@ -16,10 +16,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# honor an explicit JAX_PLATFORMS request even where a site plugin (axon)
+# force-registers itself ahead of it
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from allpathslg_tpu.pipeline.config import AssemblyConfig
 from allpathslg_tpu.pipeline.rundir import RunDir
@@ -43,7 +51,7 @@ def _log_factory(rd: RunDir):
 def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
                        error_rate: float, read_len: int, seed: int, log,
                        jump_coverage: float = 0.0, jump_insert: int = 3000,
-                       jump_sd: int = 300):
+                       jump_sd: int = 300, pacbio_coverage: float = 0.0):
     """PrepareAllPathsInputs analog for simulated data; also stores truth."""
     from allpathslg_tpu.eval import sim
 
@@ -72,6 +80,14 @@ def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
                        lib_sd=np.array([jump_sd], np.int32))
         log(f"[prepare] simulated jump lib reads={jb.n_reads} "
             f"insert={jump_insert}±{jump_sd}")
+    if pacbio_coverage > 0:
+        lr, _, _ = sim.simulate_long_reads(genome, coverage=pacbio_coverage,
+                                           seed=seed + 3)
+        flat = np.concatenate(lr) if lr else np.zeros(0, np.uint8)
+        offs = np.zeros(len(lr) + 1, np.int64)
+        np.cumsum([len(r) for r in lr], out=offs[1:])
+        rd.save_arrays("long_reads_orig", bases=flat, offsets=offs)
+        log(f"[prepare] simulated {len(lr)} PacBio long reads")
 
 
 def prepare_fastq_inputs(rd: RunDir, fastqs, log):
@@ -111,6 +127,7 @@ def main(argv=None):
     ap.add_argument("--jump-coverage", type=float, default=0.0)
     ap.add_argument("--jump-insert", type=int, default=3000)
     ap.add_argument("--jump-sd", type=int, default=300)
+    ap.add_argument("--pacbio-coverage", type=float, default=0.0)
     ap.add_argument("--k", type=int, default=96)
     ap.add_argument("overrides", nargs="*", help="KEY=VALUE config overrides")
     args = ap.parse_args(argv)
@@ -135,7 +152,8 @@ def main(argv=None):
                                args.error_rate, args.read_len, args.seed, log,
                                jump_coverage=args.jump_coverage,
                                jump_insert=args.jump_insert,
-                               jump_sd=args.jump_sd)
+                               jump_sd=args.jump_sd,
+                               pacbio_coverage=args.pacbio_coverage)
         elif args.frag_fastq:
             prepare_fastq_inputs(rd, args.frag_fastq, log)
         else:

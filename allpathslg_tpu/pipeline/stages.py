@@ -284,9 +284,14 @@ class Pipeline:
             out_lens = np.concatenate([m_len[m_ok], lengths[pass_idx]]).astype(np.int32)
             rd.save_arrays("filled_reads", codes=out_codes, lengths=out_lens,
                            quals=out_quals)
+            # filled lengths ARE the sampled insert sizes (ref:
+            # SamplePairedReadStats for the fragment library)
+            fl = m_len[m_ok]
             return {"n_pairs": int(P), "n_filled": int(m_ok.sum()),
                     "n_passthrough": int(len(pass_idx)),
-                    "fill_rate": round(float(m_ok.mean()), 3)}
+                    "fill_rate": round(float(m_ok.mean()), 3),
+                    "frag_insert_mean": round(float(fl.mean()), 1) if len(fl) else 0,
+                    "frag_insert_sd": round(float(fl.std()), 1) if len(fl) else 0}
 
         return self.run_stage("fill_fragments", ih, ["filled_reads.npz"], fn)
 
@@ -303,14 +308,19 @@ class Pipeline:
             ups = unipath.build_unipaths(ck_acc.words, cfg.K,
                                          min_count=cfg.min_kmer_count,
                                          counts=ck_acc.counts)
+            from allpathslg_tpu.graph import coverage as gcov
+            cn, peak = gcov.copy_numbers(ups)
             rd.save_arrays("unibases", bases=ups.bases, offsets=ups.offsets,
-                           kmer_counts=ups.kmer_counts)
+                           kmer_counts=ups.kmer_counts,
+                           mean_cov=ups.mean_cov, copy_number=cn)
             recs = [(f"unipath_{i}", ups.sequence(i)) for i in range(ups.n)]
             fio.write_fasta(rd.file_path("unibases.fasta"), recs)
             st = stats.assembly_stats(ups.lengths())
             return {"n_unipaths": ups.n, "n50": st["n50"],
                     "total_bases": st["total_bases"],
-                    "n_kmers": int(ck_acc.n_unique)}
+                    "n_kmers": int(ck_acc.n_unique),
+                    "cn1_frac": round(float((cn == 1).mean()), 3),
+                    "coverage_peak": round(peak, 1)}
 
         return self.run_stage("unipaths", ih,
                               ["unibases.npz", "unibases.fasta"], fn)
@@ -481,17 +491,181 @@ class Pipeline:
                                        clens, insert, insert_sd)
                 scaffolds = scaffolder.make_scaffolds(lg, len(clens))
                 scaffolds = scaffolder.remodel_gaps(scaffolds, lg)
+                # circularity tags (ref: TagCircularScaffolds)
+                from allpathslg_tpu.scaffold import circular as scirc
+                wraps = slinks.wrap_pair_counts(
+                    al["contig"], al["anchor"], al["is_rc"], al["aligned"],
+                    j["lengths"], j["pairs"], clens, insert, insert_sd)
+                circ = scirc.tag_circular(scaffolds, lg, wraps)
+                np.save(rd.file_path("circular_tags.npy"),
+                        np.asarray(circ, dtype=bool))
             ssb.write_superb(rd.file_path("assembly.superb"), scaffolds)
             ssb.write_agp(rd.file_path("assembly.agp"), scaffolds, clens)
             slens = [sb.length(clens) for sb in scaffolds]
             from allpathslg_tpu.eval import stats as estats
             st = estats.assembly_stats(slens)
+            n_circ = 0
+            import os
+            if os.path.exists(rd.file_path("circular_tags.npy")):
+                n_circ = int(np.load(rd.file_path("circular_tags.npy")).sum())
             return {"n_scaffolds": len(scaffolds),
                     "scaffold_n50": st["n50"],
-                    "scaffold_total": st["total_bases"]}
+                    "scaffold_total": st["total_bases"],
+                    "n_circular": n_circ}
 
         return self.run_stage("make_scaffolds", ih,
                               ["assembly.superb", "assembly.agp"], fn)
+
+    def long_read_patch(self):
+        """LongReadPostPatcher: close residual scaffold gaps with PacBio
+        consensus patches (short-read polish cleans them downstream)."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.asm import longread as alr
+        from allpathslg_tpu.scaffold import superb as ssb
+
+        ih = rd.hash_of("long_read_patch", self._art_hash("long_reads_orig"),
+                        self._art_hash("contigs_final"))
+
+        def fn():
+            if not rd.has("long_reads_orig"):
+                return {"skipped": "no long reads"}
+            art = "contigs_final" if rd.has("contigs_final") else "unibases"
+            u = rd.load_arrays(art)
+            offs = u["offsets"]
+            contigs = [u["bases"][offs[i]:offs[i + 1]]
+                       for i in range(len(offs) - 1)]
+            lr = rd.load_arrays("long_reads_orig")
+            lro = lr["offsets"]
+            long_reads = [lr["bases"][lro[i]:lro[i + 1]]
+                          for i in range(len(lro) - 1)]
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            n_closed = 0
+            from allpathslg_tpu.asm.patch import _oriented
+            for sb in scaffolds:
+                j = 0
+                while j < len(sb.gaps):
+                    c1, f1 = sb.contig_ids[j], sb.rc[j]
+                    c2, f2 = sb.contig_ids[j + 1], sb.rc[j + 1]
+                    s1 = _oriented(np.asarray(contigs[c1]), f1)
+                    s2 = _oriented(np.asarray(contigs[c2]), f2)
+                    merged = alr.close_gap_with_long_reads(
+                        s1, s2, sb.gaps[j], sb.gap_devs[j], long_reads)
+                    if merged is not None:
+                        contigs.append(merged)
+                        nid = len(contigs) - 1
+                        sb.contig_ids[j : j + 2] = [nid]
+                        sb.rc[j : j + 2] = [False]
+                        del sb.gaps[j]
+                        del sb.gap_devs[j]
+                        n_closed += 1
+                    else:
+                        j += 1
+            used = sorted({c for sb in scaffolds for c in sb.contig_ids})
+            remap = {c: i for i, c in enumerate(used)}
+            bases = np.concatenate([np.asarray(contigs[c]) for c in used]) \
+                if used else np.zeros(0, np.uint8)
+            offsets = np.zeros(len(used) + 1, np.int64)
+            np.cumsum([len(contigs[c]) for c in used], out=offsets[1:])
+            for sb in scaffolds:
+                sb.contig_ids = [remap[c] for c in sb.contig_ids]
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            ssb.write_superb(rd.file_path("assembly.superb"), scaffolds)
+            return {"n_gaps_closed": int(n_closed)}
+
+        return self.run_stage("long_read_patch", ih,
+                              ["contigs_final.npz", "assembly.superb"], fn)
+
+    def polish(self):
+        """FixSomeIndels-style consensus polish of the final contigs."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.asm import polish as apol
+
+        ih = rd.hash_of("polish", self._art_hash("contigs_final"),
+                        self._art_hash("filled_reads"))
+
+        def fn():
+            art = "contigs_final" if rd.has("contigs_final") else "unibases"
+            u = rd.load_arrays(art)
+            # re-place reads on the (patched) contigs
+            m = self._align_reads_to_contigs_arrays(
+                u["bases"], u["offsets"], "filled_reads")
+            fr = rd.load_arrays("filled_reads")
+            bases, n_changed = apol.polish_contigs(
+                u["bases"], u["offsets"], fr["codes"], fr["lengths"],
+                m["contig"], m["anchor"], m["is_rc"], m["aligned"])
+            rd.save_arrays("contigs_final", bases=bases, offsets=u["offsets"])
+            return {"n_bases_fixed": int(n_changed)}
+
+        return self.run_stage("polish", ih, ["contigs_final.npz"], fn)
+
+    def _align_reads_to_contigs_arrays(self, bases, offsets, reads_art):
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.align import lookup as alook
+        j = rd.load_arrays(reads_art)
+        index = alook.build_index(bases, offsets, K=cfg.K_ec)
+        acfg = alook.AlignConfig(K=cfg.K_ec)
+        codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
+        lens, _ = _pad_batch(j["lengths"], cfg.batch_reads, 0)
+        C = np.empty(len(codes), np.int32)
+        D = np.empty(len(codes), np.int32)
+        O = np.empty(len(codes), bool)
+        OK = np.empty(len(codes), bool)
+        for s, e in _batched(codes, None, cfg.batch_reads):
+            c, d, o, mm, ok = alook.align_reads(
+                index, codes[s:e], lens[s:e], acfg, bases)
+            C[s:e], D[s:e], O[s:e], OK[s:e] = c, d, o, ok
+        return {"contig": C[:n_real], "anchor": D[:n_real],
+                "is_rc": O[:n_real], "aligned": OK[:n_real]}
+
+    def clean_final(self):
+        """CleanAssembly: drop tiny/contained contigs and scaffolds."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.asm import clean_assembly as aclean
+        from allpathslg_tpu.scaffold import superb as ssb
+
+        ih = rd.hash_of("clean_final", self._art_hash("contigs_final"))
+
+        def fn():
+            art = "contigs_final" if rd.has("contigs_final") else "unibases"
+            u = rd.load_arrays(art)
+            offs = u["offsets"]
+            contigs = [u["bases"][offs[i]:offs[i + 1]]
+                       for i in range(len(offs) - 1)]
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            ccfg = aclean.CleanConfig(
+                min_contig_len=cfg.min_contig_len or 2 * cfg.K)
+            contigs, scaffolds, m = aclean.clean_assembly(contigs, scaffolds,
+                                                          ccfg)
+            bases = np.concatenate(contigs) if contigs else np.zeros(0, np.uint8)
+            offsets = np.zeros(len(contigs) + 1, np.int64)
+            np.cumsum([len(c) for c in contigs], out=offsets[1:])
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            ssb.write_superb(rd.file_path("assembly.superb"), scaffolds)
+            ssb.write_agp(rd.file_path("assembly.agp"), scaffolds,
+                          np.diff(offsets))
+            return m
+
+        return self.run_stage("clean_final", ih,
+                              ["contigs_final.npz", "assembly.superb"], fn)
+
+    def evaluate(self):
+        """Reference-based accuracy (ref: AssemblyAccuracy/ScaffoldAccuracy,
+        EVALUATION=FULL) — runs when a truth genome is present."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.eval import accuracy as eacc
+
+        ih = rd.hash_of("evaluate", self._art_hash("contigs_final"),
+                        self._art_hash("genome_truth"))
+
+        def fn():
+            if not rd.has("genome_truth"):
+                return {"skipped": "no reference genome"}
+            art = "contigs_final" if rd.has("contigs_final") else "unibases"
+            u = rd.load_arrays(art)
+            g = rd.load_arrays("genome_truth")["genome"]
+            return eacc.evaluate(u["bases"], u["offsets"], g)
+
+        return self.run_stage("evaluate", ih, [], fn)
 
     def finalize(self):
         """Final assembly emission: scaffold FASTA + EFASTA
@@ -540,7 +714,8 @@ class Pipeline:
             for s in ["validate_inputs", "remove_dodgy", "precorrect",
                       "find_errors", "clean_reads", "fill_fragments",
                       "unipaths", "jump_ec", "align_jumps", "make_scaffolds",
-                      "align_frags", "patch_gaps"]:
+                      "align_frags", "patch_gaps", "long_read_patch",
+                      "polish", "clean_final", "evaluate"]:
                 m = self.rd.metrics(s)
                 if m:
                     lines.append(f"[{s}] " + ", ".join(f"{k}={v}" for k, v in m.items()))
@@ -599,5 +774,10 @@ class Pipeline:
         self.make_scaffolds()
         self.align_frags()
         self.patch_gaps()
+        if self.rd.has("long_reads_orig"):
+            self.long_read_patch()
+        self.polish()
+        self.clean_final()
         self.finalize()
+        self.evaluate()
         return self.report()

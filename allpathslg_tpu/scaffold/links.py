@@ -30,6 +30,41 @@ from typing import Tuple
 import numpy as np
 
 
+def wrap_pair_counts(contig, anchor, is_rc, aligned, read_lens,
+                     pairs: np.ndarray, contig_lens: np.ndarray,
+                     insert: int, insert_sd: int) -> np.ndarray:
+    """Per-contig count of same-contig pairs whose geometry only works if
+    the contig wraps (r1 pointing off the trailing end, mate entering the
+    leading end) — evidence for circularity (ref: TagCircularScaffolds)."""
+    contig = np.asarray(contig)
+    anchor = np.asarray(anchor)
+    is_rc = np.asarray(is_rc)
+    aligned = np.asarray(aligned)
+    clens = np.asarray(contig_lens).astype(np.int64)
+    out = np.zeros(len(clens), np.int64)
+    r1 = pairs[:, 0]
+    r2 = pairs[:, 1]
+    ok = aligned[r1] & aligned[r2] & (contig[r1] == contig[r2])
+    r1, r2 = r1[ok], r2[ok]
+    c = contig[r1]
+    o1, o2 = is_rc[r1], is_rc[r2]
+    a1, a2 = anchor[r1].astype(np.int64), anchor[r2].astype(np.int64)
+    L = clens[c]
+    # treat r1's strand as the reference orientation (innie: o2 == ~o1 needed)
+    consistent = o1 != o2
+    # distance from r1 base0 to the end it points at + r2's from its end
+    d1 = np.where(o1, a1 + 1, L - a1)
+    d2 = np.where(o2, a2 + 1, L - a2)
+    # linear geometry would need d1 + d2 ≈ insert pointing inward; wrap
+    # pairs have the mates near OPPOSITE ends facing out: d1 + d2 much
+    # larger than insert linearly, but wrap distance = d1 + d2 - L ≈ insert
+    wrap_gap = (d1 + d2) - L
+    good = consistent & (np.abs(wrap_gap - insert) < 5 * max(insert_sd, 10)) \
+        & (d1 + d2 > L)
+    np.add.at(out, c[good], 1)
+    return out
+
+
 @dataclasses.dataclass
 class LinkGraph:
     """Aggregated oriented links (host arrays). Edge meaning: contig a
