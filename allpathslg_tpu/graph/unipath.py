@@ -160,11 +160,24 @@ def _order_phase(head, dist, K: int):
     return order, starts, rl, chain_len, keep, start_pos
 
 
+@dataclasses.dataclass
+class UniGraph:
+    """Oriented unipath adjacency (K-1 overlap semantics at junctions —
+    the HyperBasevector structure, ref: src/paths/HyperBasevector.h).
+    Edge: oriented chain (a, fa) is followed by oriented chain (b, fb)."""
+    a: np.ndarray    # int32 [E]
+    fa: np.ndarray   # bool [E]
+    b: np.ndarray    # int32 [E]
+    fb: np.ndarray   # bool [E]
+
+
 def build_unipaths(table_words: List[jnp.ndarray], K: int,
                    min_count: int = 2,
-                   counts: jnp.ndarray = None) -> Unipaths:
+                   counts: jnp.ndarray = None,
+                   with_graph: bool = False):
     """Host driver: kmer table (sorted canonical, possibly padded with
-    sentinels + counts) → unipaths with base sequences.
+    sentinels + counts) → unipaths with base sequences (and optionally the
+    oriented unipath adjacency graph).
     """
     counts_f = None
     if counts is not None:
@@ -175,8 +188,13 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
         tw = [jnp.asarray(np.asarray(w)) for w in table_words]
     M = int(tw[0].shape[0])
     if M == 0:
-        return Unipaths(np.zeros(0, np.uint8), np.zeros(1, np.int64),
-                        np.zeros(0, np.int32))
+        empty = Unipaths(np.zeros(0, np.uint8), np.zeros(1, np.int64),
+                         np.zeros(0, np.int32))
+        if with_graph:
+            z = np.zeros(0)
+            return empty, UniGraph(z.astype(np.int32), z.astype(bool),
+                                   z.astype(np.int32), z.astype(bool))
+        return empty
 
     head, dist, vals, outdeg, nxt = _chain_phase(tuple(tw), K)
     order, starts, rl, chain_len, keep, start_pos = _order_phase(head, dist, K)
@@ -211,8 +229,47 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
         mean_cov = ((csum[chain_starts + lens] - csum[chain_starts])
                     / np.maximum(lens, 1)).astype(np.float32)
 
-    return Unipaths(bases=np.asarray(bases), offsets=seq_off,
-                    kmer_counts=lens.astype(np.int32), mean_cov=mean_cov)
+    ups = Unipaths(bases=np.asarray(bases), offsets=seq_off,
+                   kmer_counts=lens.astype(np.int32), mean_cov=mean_cov)
+    if not with_graph:
+        return ups
+
+    # --- oriented chain adjacency (edges via successor joins) ---
+    n_nodes = 2 * M
+    heads = order_np[chain_starts]                      # kept chain heads
+    tails = order_np[chain_starts + lens - 1]
+    # leading-node map: node → (kept chain, orientation entering via it)
+    lead_chain = np.full(n_nodes, -1, np.int32)
+    lead_orient = np.zeros(n_nodes, bool)
+    lead_chain[heads] = np.arange(n_chains, dtype=np.int32)
+    lead_orient[heads] = False
+    lead_chain[tails ^ 1] = np.arange(n_chains, dtype=np.int32)
+    lead_orient[tails ^ 1] = True
+
+    # trailing kmer values of oriented chains: (c,0) trails with tail node,
+    # (c,1) trails with head^1
+    trail_nodes = np.concatenate([tails, heads ^ 1])
+    tvals = [jnp.asarray(np.asarray(v)[trail_nodes]) for v in vals]
+    ea, efa, eb, efb = [], [], [], []
+    for bb in range(4):
+        s = bits.shift_append(tvals, jnp.uint32(bb), K)
+        canon, is_rc = bits.canonical(s, K)
+        idx, found = join.searchsorted_words([jnp.asarray(np.asarray(w)) for w in tw], canon)
+        node = (np.asarray(idx) * 2 + np.asarray(is_rc).astype(np.int32))
+        fnd = np.asarray(found)
+        for i in np.nonzero(fnd)[0]:
+            tc = lead_chain[node[i]]
+            if tc < 0:
+                continue
+            src = i % n_chains
+            src_f = i >= n_chains
+            ea.append(src)
+            efa.append(bool(src_f))
+            eb.append(int(tc))
+            efb.append(bool(lead_orient[node[i]]))
+    graph = UniGraph(np.asarray(ea, np.int32), np.asarray(efa, bool),
+                     np.asarray(eb, np.int32), np.asarray(efb, bool))
+    return ups, graph
 
 
 @functools.partial(jax.jit, static_argnames=("K", "total"))

@@ -305,25 +305,74 @@ class Pipeline:
             ck_acc = kcount.count_reads_streaming(
                 a["codes"], cfg.K, batch_size=cfg.batch_reads)
             ck_acc = kcount.trim_to_host(ck_acc)
-            ups = unipath.build_unipaths(ck_acc.words, cfg.K,
-                                         min_count=cfg.min_kmer_count,
-                                         counts=ck_acc.counts)
+            ups, graph = unipath.build_unipaths(ck_acc.words, cfg.K,
+                                                min_count=cfg.min_kmer_count,
+                                                counts=ck_acc.counts,
+                                                with_graph=True)
             from allpathslg_tpu.graph import coverage as gcov
+            from allpathslg_tpu.graph import cleanup as gclean
             cn, peak = gcov.copy_numbers(ups)
-            rd.save_arrays("unibases", bases=ups.bases, offsets=ups.offsets,
-                           kmer_counts=ups.kmer_counts,
-                           mean_cov=ups.mean_cov, copy_number=cn)
-            recs = [(f"unipath_{i}", ups.sequence(i)) for i in range(ups.n)]
+            # graph simplification: pop het bubbles (ploidy 2), trim spurs,
+            # merge linear chains (ref: MergeNeighborhoods2-style cleanup)
+            contigs, cm = gclean.simplify(ups, graph, cfg.K,
+                                          ploidy=cfg.ploidy)
+            bases = (np.concatenate(contigs.seqs) if contigs.seqs
+                     else np.zeros(0, np.uint8))
+            offsets = np.zeros(len(contigs.seqs) + 1, np.int64)
+            np.cumsum([len(s) for s in contigs.seqs], out=offsets[1:])
+            # flatten ambiguity records (contig, offset, kept_len, alt...)
+            amb_c, amb_off, amb_klen, amb_alt, amb_aoff = [], [], [], [], [0]
+            for ci, alist in enumerate(contigs.ambiguities):
+                for (off, klen, alt) in alist:
+                    amb_c.append(ci)
+                    amb_off.append(off)
+                    amb_klen.append(klen)
+                    amb_alt.extend(alt.tolist())
+                    amb_aoff.append(len(amb_alt))
+            rd.save_arrays("unibases", bases=bases, offsets=offsets,
+                           amb_contig=np.asarray(amb_c, np.int32),
+                           amb_offset=np.asarray(amb_off, np.int64),
+                           amb_kept_len=np.asarray(amb_klen, np.int32),
+                           amb_alt=np.asarray(amb_alt, np.uint8),
+                           amb_alt_offsets=np.asarray(amb_aoff, np.int64))
+            recs = [(f"contig_{i}", contigs.seqs[i])
+                    for i in range(len(contigs.seqs))]
             fio.write_fasta(rd.file_path("unibases.fasta"), recs)
-            st = stats.assembly_stats(ups.lengths())
+            self._write_unibases_efasta(contigs)
+            lens = [len(s) for s in contigs.seqs]
+            st = stats.assembly_stats(lens)
             return {"n_unipaths": ups.n, "n50": st["n50"],
                     "total_bases": st["total_bases"],
                     "n_kmers": int(ck_acc.n_unique),
                     "cn1_frac": round(float((cn == 1).mean()), 3),
-                    "coverage_peak": round(peak, 1)}
+                    "coverage_peak": round(peak, 1), **cm}
 
         return self.run_stage("unipaths", ih,
                               ["unibases.npz", "unibases.fasta"], fn)
+
+    def _write_unibases_efasta(self, contigs):
+        """EFASTA with diploid {kept,alt} blocks (ref: final.contigs.efasta).
+        Note: ambiguity offsets refer to the pre-scaffolding contig set;
+        threading them through patching is scheduled for the next round."""
+        from allpathslg_tpu.io import efasta as eio
+        from allpathslg_tpu.dtypes.reads import string_from_codes
+        recs = []
+        for ci, seq in enumerate(contigs.seqs):
+            alist = sorted(contigs.ambiguities[ci])
+            segs = []
+            pos = 0
+            for (off, klen, alt) in alist:
+                if off < pos or off + klen > len(seq):
+                    continue
+                if off > pos:
+                    segs.append(string_from_codes(seq[pos:off]))
+                segs.append((string_from_codes(seq[off : off + klen]),
+                             string_from_codes(alt)))
+                pos = off + klen
+            if pos < len(seq):
+                segs.append(string_from_codes(seq[pos:]))
+            recs.append((f"contig_{ci}", segs))
+        eio.write_efasta(self.rd.file_path("unibases.efasta"), recs)
 
     def jump_ec(self):
         """ErrorCorrectJump: trusted-prefix truncation vs the corrected-read
