@@ -91,23 +91,23 @@ def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
 
 
 def prepare_fastq_inputs(rd: RunDir, fastqs, log):
-    from allpathslg_tpu.io import fasta as fio
+    """FASTQ import through the native C++ reader (ref:
+    PrepareAllPathsInputs.pl conversion path)."""
+    from allpathslg_tpu.io import native_fastq
 
-    all_seqs, all_quals = [], []
-    for path in fastqs:
-        s, q = fio.read_fastq(path)
-        all_seqs.extend(s)
-        all_quals.extend(q)
-    from allpathslg_tpu.dtypes.reads import batch_from_strings
-    lmax = max(len(s) for s in all_seqs)
-    n = len(all_seqs)
+    parts = [native_fastq.read_fastq_arrays(p) for p in fastqs]
+    lmax = max(p[0].shape[1] for p in parts)
+    n = sum(p[0].shape[0] for p in parts)
     codes = np.full((n, lmax), 4, np.uint8)
     quals = np.zeros((n, lmax), np.uint8)
     lengths = np.zeros(n, np.int32)
-    for i, (s, q) in enumerate(zip(all_seqs, all_quals)):
-        codes[i, : len(s)] = s
-        quals[i, : len(q)] = q
-        lengths[i] = len(s)
+    at = 0
+    for c, q, l in parts:
+        m, L = c.shape
+        codes[at : at + m, :L] = c
+        quals[at : at + m, :L] = q
+        lengths[at : at + m] = l
+        at += m
     # interleaved pairing convention: (0,1), (2,3), ...
     pairs = np.stack([np.arange(0, n - 1, 2), np.arange(1, n, 2)], 1).astype(np.int32)
     rd.save_arrays("frag_reads_orig", codes=codes, lengths=lengths,
