@@ -96,10 +96,17 @@ def batch_from_strings(seqs: Sequence[str], quals: Optional[Sequence[np.ndarray]
 
 def batch_from_codes(codes: np.ndarray, lengths: np.ndarray,
                      quals: Optional[np.ndarray] = None) -> ReadBatch:
-    b = ReadBatch(jnp.asarray(codes, dtype=jnp.uint8),
-                  jnp.asarray(lengths, dtype=jnp.int32),
-                  None if quals is None else jnp.asarray(quals, dtype=jnp.uint8))
-    return b.enforce_padding()
+    """Host-side constructor: pads in numpy (device transfer happens when a
+    kernel first consumes the arrays — keeps multi-GB prep off the wire)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    pos = np.arange(codes.shape[1], dtype=np.int32)[None, :]
+    mask = pos < lengths[:, None]
+    codes = np.where(mask, codes, np.uint8(PAD_CODE))
+    q = None
+    if quals is not None:
+        q = np.where(mask, np.asarray(quals, dtype=np.uint8), np.uint8(0))
+    return ReadBatch(codes, lengths, q)
 
 
 def strings_from_batch(batch: ReadBatch) -> list:

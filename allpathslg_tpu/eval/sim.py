@@ -123,20 +123,20 @@ def simulate_paired_reads(
     read_rc = np.empty(n_reads, dtype=bool)
 
     gext = np.concatenate([genome, genome[: read_len + 1]]) if circular else genome
-    for i in range(n_pairs):
-        s, ins = starts[i], inserts[i]
-        fwd = gext[s : s + read_len]
-        rev = _rc(gext[s + ins - read_len : s + ins])
-        if not outward:  # innie: r1 fwd at s, r2 rc at end of insert
-            codes[2 * i] = fwd
-            codes[2 * i + 1] = rev
-            read_rc[2 * i], read_rc[2 * i + 1] = False, True
-        else:  # outie (raw jump): both flipped
-            codes[2 * i] = _rc(fwd)
-            codes[2 * i + 1] = _rc(rev)
-            read_rc[2 * i], read_rc[2 * i + 1] = True, False
-        read_starts[2 * i] = s
-        read_starts[2 * i + 1] = s + ins - read_len
+    j = np.arange(read_len, dtype=np.int64)[None, :]
+    fwd = gext[starts[:, None] + j]                                # [P, L]
+    # rev = rc of gext[s+ins-L : s+ins]: base j = 3 - gext[s+ins-1-j]
+    rev = 3 - gext[(starts + inserts - 1)[:, None] - j]
+    if not outward:  # innie: r1 fwd at s, r2 rc at end of insert
+        codes[0::2] = fwd
+        codes[1::2] = rev
+        read_rc[0::2], read_rc[1::2] = False, True
+    else:  # outie (raw jump): both flipped
+        codes[0::2] = (3 - fwd)[:, ::-1]
+        codes[1::2] = (3 - rev)[:, ::-1]
+        read_rc[0::2], read_rc[1::2] = True, False
+    read_starts[0::2] = starts
+    read_starts[1::2] = starts + inserts - read_len
 
     # qualities: plateau at q38 dropping toward 3' end to ~q20
     pos = np.arange(read_len)
@@ -155,10 +155,10 @@ def simulate_paired_reads(
     batch = batch_from_codes(codes, lengths, quals)
     pair_idx = np.stack([np.arange(0, n_reads, 2), np.arange(1, n_reads, 2)], axis=1)
     pairs = PairTable(
-        pairs=jnp.asarray(pair_idx.astype(np.int32)),
-        lib_ids=jnp.zeros(n_pairs, dtype=jnp.int8),
-        lib_sep=jnp.asarray([insert_mean], dtype=jnp.int32),
-        lib_sd=jnp.asarray([insert_sd], dtype=jnp.int32),
+        pairs=pair_idx.astype(np.int32),
+        lib_ids=np.zeros(n_pairs, dtype=np.int8),
+        lib_sep=np.asarray([insert_mean], dtype=np.int32),
+        lib_sd=np.asarray([insert_sd], dtype=np.int32),
     )
     truth = SimTruth(genome=genome, read_starts=read_starts,
                      read_rc=read_rc, error_mask=err)

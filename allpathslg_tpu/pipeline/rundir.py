@@ -36,9 +36,12 @@ class RunDir:
         return os.path.join(self.path, name + ".npz")
 
     def save_arrays(self, name: str, **arrays) -> str:
+        # uncompressed: base-code arrays are hundreds of MB at genome scale
+        # and zlib costs minutes of host CPU per stage (ref analog: raw
+        # feudal binary files, not compressed)
         tmp = self._file(name) + ".tmp"
         with open(tmp, "wb") as fh:
-            np.savez_compressed(fh, **{k: np.asarray(v) for k, v in arrays.items()})
+            np.savez(fh, **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(tmp, self._file(name))
         return self._file(name)
 

@@ -427,11 +427,20 @@ class Pipeline:
                 c, d, o, mm, ok = alook.align_reads(
                     index, codes[s:e], lens[s:e], acfg, u["bases"])
                 C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
+            # estimate the true insert distribution from same-contig pairs
+            # (ref: SamplePairedReadStats → IntDistribution per library)
+            from allpathslg_tpu.eval import accuracy as eacc
+            imean, isd, hist = eacc.estimate_insert_stats(
+                C[:n_real], D[:n_real], O[:n_real], OK[:n_real],
+                j["lengths"], j["pairs"])
             rd.save_arrays("jump_alignlets", contig=C[:n_real],
                            anchor=D[:n_real], is_rc=O[:n_real],
-                           mismatches=MM[:n_real], aligned=OK[:n_real])
+                           mismatches=MM[:n_real], aligned=OK[:n_real],
+                           insert_hist=hist)
             return {"n_aligned": int(OK[:n_real].sum()),
-                    "align_rate": round(float(OK[:n_real].mean()), 3)}
+                    "align_rate": round(float(OK[:n_real].mean()), 3),
+                    "insert_mean_est": round(imean, 1),
+                    "insert_sd_est": round(isd, 1)}
 
         return self.run_stage("align_jumps", ih, ["jump_alignlets.npz"], fn)
 
@@ -535,6 +544,12 @@ class Pipeline:
                 j = rd.load_arrays("jump_reads_ec")
                 insert = int(j["lib_sep"][0])
                 insert_sd = int(j["lib_sd"][0])
+                # prefer the data-estimated insert distribution when sane
+                am = rd.metrics("align_jumps")
+                est = am.get("insert_mean_est", 0)
+                if est and 0.5 * insert < est < 2 * insert:
+                    insert = int(est)
+                    insert_sd = max(int(am.get("insert_sd_est", insert_sd)), 5)
                 lg = slinks.pair_links(al["contig"], al["anchor"], al["is_rc"],
                                        al["aligned"], j["lengths"], j["pairs"],
                                        clens, insert, insert_sd)

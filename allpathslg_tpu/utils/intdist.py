@@ -1,0 +1,73 @@
+"""Empirical integer distributions (insert sizes).
+
+Behavior contract (ref: src/math/IntDistribution.{h,cc} — SURVEY.md §2.1):
+the reference models per-library insert sizes as empirical distributions and
+uses them for fill validation, link gap estimation, and RemodelGaps' MLE.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class IntDistribution:
+    """Empirical distribution over a contiguous integer support."""
+    lo: int
+    pmf: np.ndarray  # float64, sums to 1
+
+    @staticmethod
+    def from_samples(samples: np.ndarray, smooth: float = 0.5
+                     ) -> "IntDistribution":
+        s = np.asarray(samples).astype(np.int64)
+        s = s[(s >= 0)]
+        if len(s) == 0:
+            return IntDistribution(0, np.ones(1))
+        lo, hi = int(s.min()), int(s.max())
+        counts = np.bincount(s - lo, minlength=hi - lo + 1).astype(np.float64)
+        if smooth > 0:  # light box smoothing + a tiny uniform floor
+            k = np.ones(3) / 3
+            for _ in range(2):
+                counts = np.convolve(counts, k, mode="same")
+            counts += smooth * counts.sum() / (100.0 * len(counts))
+        return IntDistribution(lo, counts / counts.sum())
+
+    @property
+    def hi(self) -> int:
+        return self.lo + len(self.pmf) - 1
+
+    def mean(self) -> float:
+        xs = np.arange(self.lo, self.hi + 1)
+        return float((xs * self.pmf).sum())
+
+    def sd(self) -> float:
+        xs = np.arange(self.lo, self.hi + 1)
+        m = self.mean()
+        return float(np.sqrt(((xs - m) ** 2 * self.pmf).sum()))
+
+    def quantile(self, q: float) -> int:
+        c = np.cumsum(self.pmf)
+        return self.lo + int(np.searchsorted(c, q))
+
+    def logpmf(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x).astype(np.int64) - self.lo
+        p = np.full(x.shape, 1e-12)
+        ok = (x >= 0) & (x < len(self.pmf))
+        p[ok] = np.maximum(self.pmf[x[ok]], 1e-12)
+        return np.log(p)
+
+    def mle_gap(self, spans: np.ndarray, gap_lo: int, gap_hi: int
+                ) -> Tuple[int, float]:
+        """RemodelGaps MLE: observed spanning-pair within-contig spans d_i
+        imply insert = d_i + gap; choose the gap maximizing
+        sum_i log pmf(d_i + g) (ref: src/paths/RemodelGaps.cc)."""
+        spans = np.asarray(spans).astype(np.int64)
+        best_g, best_ll = gap_lo, -np.inf
+        for g in range(gap_lo, gap_hi + 1):
+            ll = self.logpmf(spans + g).sum()
+            if ll > best_ll:
+                best_ll, best_g = ll, g
+        return int(best_g), float(best_ll)
