@@ -174,10 +174,16 @@ class UniGraph:
 def build_unipaths(table_words: List[jnp.ndarray], K: int,
                    min_count: int = 2,
                    counts: jnp.ndarray = None,
-                   with_graph: bool = False):
+                   with_graph: bool = False,
+                   with_placement: bool = False):
     """Host driver: kmer table (sorted canonical, possibly padded with
     sentinels + counts) → unipaths with base sequences (and optionally the
     oriented unipath adjacency graph).
+
+    with_placement additionally returns a KmerPlacement (graph/pathsdb.py):
+    the kmer→(unipath, offset, orientation) map that underlies read pathing
+    (ref: the pathsdb of src/paths/ReadPaths.cc / KmerPathDatabase — reads
+    re-expressed in unipath coordinates, SURVEY.md §2.4).
     """
     counts_f = None
     if counts is not None:
@@ -190,11 +196,18 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
     if M == 0:
         empty = Unipaths(np.zeros(0, np.uint8), np.zeros(1, np.int64),
                          np.zeros(0, np.int32))
+        out = [empty]
         if with_graph:
             z = np.zeros(0)
-            return empty, UniGraph(z.astype(np.int32), z.astype(bool),
-                                   z.astype(np.int32), z.astype(bool))
-        return empty
+            out.append(UniGraph(z.astype(np.int32), z.astype(bool),
+                                z.astype(np.int32), z.astype(bool)))
+        if with_placement:
+            from allpathslg_tpu.graph.pathsdb import KmerPlacement
+            out.append(KmerPlacement(
+                K=K, table=[np.zeros(0, np.uint32) for _ in table_words],
+                uid=np.zeros(0, np.int32), upos=np.zeros(0, np.int32),
+                urc=np.zeros(0, bool)))
+        return out[0] if len(out) == 1 else tuple(out)
 
     head, dist, vals, outdeg, nxt = _chain_phase(tuple(tw), K)
     order, starts, rl, chain_len, keep, start_pos = _order_phase(head, dist, K)
@@ -231,8 +244,27 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
 
     ups = Unipaths(bases=np.asarray(bases), offsets=seq_off,
                    kmer_counts=lens.astype(np.int32), mean_cov=mean_cov)
+
+    placement = None
+    if with_placement:
+        # kmer table row → (kept chain, offset, orientation). Each canonical
+        # kmer sits in exactly one kept chain (rc twins were dropped by
+        # `keep`; rc-palindromic kmers resolve to whichever write lands).
+        from allpathslg_tpu.graph.pathsdb import KmerPlacement
+        flat_idx = np.repeat(chain_starts, lens) + _ragged_arange(lens)
+        nodes = order_np[flat_idx]
+        kidx = nodes >> 1
+        uid = np.zeros(M, np.int32)
+        upos = np.zeros(M, np.int32)
+        urc = np.zeros(M, bool)
+        uid[kidx] = np.repeat(np.arange(n_chains, dtype=np.int32), lens)
+        upos[kidx] = _ragged_arange(lens)
+        urc[kidx] = (nodes & 1).astype(bool)
+        placement = KmerPlacement(K=K, table=[np.asarray(w) for w in tw],
+                                  uid=uid, upos=upos, urc=urc)
+
     if not with_graph:
-        return ups
+        return (ups, placement) if with_placement else ups
 
     # --- oriented chain adjacency (edges via successor joins) ---
     n_nodes = 2 * M
@@ -269,7 +301,18 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
             efb.append(bool(lead_orient[node[i]]))
     graph = UniGraph(np.asarray(ea, np.int32), np.asarray(efa, bool),
                      np.asarray(eb, np.int32), np.asarray(efb, bool))
-    return ups, graph
+    return (ups, graph, placement) if with_placement else (ups, graph)
+
+
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    if len(lens) == 0:
+        return np.zeros(0, np.int32)
+    total = int(lens.sum())
+    starts = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(starts, lens)).astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "total"))

@@ -305,10 +305,19 @@ class Pipeline:
             ck_acc = kcount.count_reads_streaming(
                 a["codes"], cfg.K, batch_size=cfg.batch_reads)
             ck_acc = kcount.trim_to_host(ck_acc)
-            ups, graph = unipath.build_unipaths(ck_acc.words, cfg.K,
-                                                min_count=cfg.min_kmer_count,
-                                                counts=ck_acc.counts,
-                                                with_graph=True)
+            ups, graph, placement = unipath.build_unipaths(
+                ck_acc.words, cfg.K, min_count=cfg.min_kmer_count,
+                counts=ck_acc.counts, with_graph=True, with_placement=True)
+            # localization: path the filled reads (= insert walks) through
+            # the unipath graph, drop uncrossed edges, split threaded
+            # repeats (ref: LocalizeReadsLG/MergeNeighborhoods, §3.4)
+            from allpathslg_tpu.graph import pathsdb as pdb
+            from allpathslg_tpu.asm import localize as aloc
+            lm = {}
+            if ups.n > 1:
+                rp = pdb.path_reads(placement, a["codes"],
+                                    batch_size=cfg.batch_reads)
+                ups, graph, lm = aloc.localize_resolve(ups, graph, rp)
             from allpathslg_tpu.graph import coverage as gcov
             from allpathslg_tpu.graph import cleanup as gclean
             cn, peak = gcov.copy_numbers(ups)
@@ -345,7 +354,7 @@ class Pipeline:
                     "total_bases": st["total_bases"],
                     "n_kmers": int(ck_acc.n_unique),
                     "cn1_frac": round(float((cn == 1).mean()), 3),
-                    "coverage_peak": round(peak, 1), **cm}
+                    "coverage_peak": round(peak, 1), **lm, **cm}
 
         return self.run_stage("unipaths", ih,
                               ["unibases.npz", "unibases.fasta"], fn)

@@ -1,0 +1,132 @@
+"""Read pathing (pathsdb) + read-threading repeat resolution (localize)."""
+
+import numpy as np
+import pytest
+
+from allpathslg_tpu.dtypes.reads import batch_from_codes
+from allpathslg_tpu.kmer import count
+from allpathslg_tpu.graph import unipath, pathsdb, cleanup
+from allpathslg_tpu.asm import localize
+from allpathslg_tpu.eval import sim
+
+K = 24
+
+
+def _build(reads_codes, min_count=1):
+    batch = batch_from_codes(reads_codes,
+                             np.full(len(reads_codes), reads_codes.shape[1],
+                                     np.int32))
+    ck = count.trim_to_host(count.count_reads(batch.codes, K))
+    return unipath.build_unipaths(ck.words, K, min_count=min_count,
+                                  counts=ck.counts, with_graph=True,
+                                  with_placement=True)
+
+
+def _windows_as_reads(genome, L=60, step=13):
+    starts = np.arange(0, len(genome) - L + 1, step)
+    if starts[-1] != len(genome) - L:  # always cover the tail
+        starts = np.append(starts, len(genome) - L)
+    return np.stack([genome[s:s + L] for s in starts])
+
+
+def test_path_reads_covers_every_window():
+    g = sim.random_genome(3000, seed=7)
+    reads = _windows_as_reads(g)
+    ups, graph, pl = _build(reads)
+    rp = pathsdb.path_reads(pl, reads)
+    P = reads.shape[1] - K + 1
+    # error-free reads: every window placed, runs contiguous per read
+    for r in range(rp.n_reads):
+        lo, hi = rp.offsets[r], rp.offsets[r + 1]
+        assert hi > lo
+        assert rp.enter[lo] == 0
+        assert rp.leave[hi - 1] == P - 1
+        for i in range(lo, hi - 1):
+            assert rp.leave[i] + 1 == rp.enter[i + 1]
+
+
+def test_path_positions_advance_along_unipath():
+    g = sim.random_genome(2000, seed=11)
+    reads = _windows_as_reads(g, L=80, step=17)
+    ups, graph, pl = _build(reads)
+    rp = pathsdb.path_reads(pl, reads)
+    # re-derive each run's window span from unipath length
+    for i in range(len(rp.uid)):
+        u = rp.uid[i]
+        span = rp.leave[i] - rp.enter[i]
+        assert span < ups.kmer_counts[u]
+
+
+def test_pathsdb_inverts_read_paths():
+    g = sim.random_genome(1500, seed=3)
+    reads = _windows_as_reads(g, L=50, step=9)
+    ups, graph, pl = _build(reads)
+    rp = pathsdb.path_reads(pl, reads)
+    db = pathsdb.build_pathsdb(rp, ups.n)
+    read_of_entry = np.repeat(np.arange(rp.n_reads), np.diff(rp.offsets))
+    for u in range(ups.n):
+        rows = db.entry[db.offsets[u]:db.offsets[u + 1]]
+        assert all(rp.uid[rows] == u)
+        assert set(db.read[db.offsets[u]:db.offsets[u + 1]]) == \
+            set(read_of_entry[rows])
+
+
+def _repeat_genome(seed=5, flank=700, rep=120):
+    """X R Y R Z with unique flanks and one exact repeat R (> K, < read)."""
+    rng = np.random.default_rng(seed)
+    x = sim.random_genome(flank, seed=seed)
+    y = sim.random_genome(flank, seed=seed + 1)
+    z = sim.random_genome(flank, seed=seed + 2)
+    r = sim.random_genome(rep, seed=seed + 3)
+    return np.concatenate([x, r, y, r, z])
+
+
+def test_threading_resolves_exact_repeat():
+    g = _repeat_genome()
+    L = 200  # reads longer than the repeat
+    reads = _windows_as_reads(g, L=L, step=11)
+    ups, graph, pl = _build(reads)
+    rp = pathsdb.path_reads(pl, reads)
+    ups2, g2, m = localize.localize_resolve(ups, graph, rp)
+    assert m["n_repeats_split"] >= 1
+    contigs, _ = cleanup.simplify(ups2, g2, K, ploidy=1)
+    lens = sorted(len(s) for s in contigs.seqs)
+    # resolved: single contig reconstructing the genome
+    assert lens[-1] == len(g)
+    # and unresolved assembly (no threading) must be worse
+    contigs0, _ = cleanup.simplify(ups, graph, K, ploidy=1)
+    assert max(len(s) for s in contigs0.seqs) < len(g)
+
+
+def test_threading_leaves_unresolvable_repeat_alone():
+    # reads SHORTER than the repeat: no thread spans it; must not split
+    g = _repeat_genome(rep=300)
+    reads = _windows_as_reads(g, L=80, step=7)
+    ups, graph, pl = _build(reads)
+    rp = pathsdb.path_reads(pl, reads)
+    ups2, g2, m = localize.localize_resolve(ups, graph, rp)
+    assert m["n_repeats_split"] == 0
+
+
+def test_transitions_match_genome_adjacency():
+    g = sim.random_genome(2500, seed=13)
+    reads = _windows_as_reads(g, L=70, step=5)
+    ups, graph, pl = _build(reads)
+    rp = pathsdb.path_reads(pl, reads)
+    edges, counts = pathsdb.transitions(rp)
+    assert (counts > 0).all()
+    # every transition is a real adjacency edge of the graph
+    gset = set()
+    for a, fa, b, fb in zip(graph.a, graph.fa, graph.b, graph.fb):
+        kf = pathsdb.pack_edges(np.array([a]), np.array([fa]),
+                                np.array([b]), np.array([fb]))[0]
+        kr = pathsdb.pack_edges(np.array([b]), np.array([~fb]),
+                                np.array([a]), np.array([~fa]))[0]
+        gset.add(min(int(kf), int(kr)))
+    for row in edges:
+        a, fa, b, fb = int(row[0]), bool(row[1]), int(row[2]), bool(row[3])
+        kf = pathsdb.pack_edges(np.array([a]), np.array([fa]),
+                                np.array([b]), np.array([fb]))[0]
+        kr = pathsdb.pack_edges(np.array([b]), np.array([not fb]),
+                                np.array([a]), np.array([not fa]))[0]
+        assert min(int(kf), int(kr)) in gset
