@@ -124,6 +124,11 @@ def main(argv=None):
     ap.add_argument("--read-len", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--frag-fastq", nargs="*", default=[])
+    ap.add_argument("--in-libs", default="",
+                    help="in_libs.csv library sheet (ref: PrepareAllPathsInputs.pl)")
+    ap.add_argument("--in-groups", default="",
+                    help="in_groups.csv read-group sheet")
+    ap.add_argument("--ploidy", type=int, default=1)
     ap.add_argument("--jump-coverage", type=float, default=0.0)
     ap.add_argument("--jump-insert", type=int, default=3000)
     ap.add_argument("--jump-sd", type=int, default=300)
@@ -154,10 +159,15 @@ def main(argv=None):
                                jump_insert=args.jump_insert,
                                jump_sd=args.jump_sd,
                                pacbio_coverage=args.pacbio_coverage)
+        elif args.in_libs and args.in_groups:
+            from allpathslg_tpu.pipeline.prepare import prepare_inputs
+            prepare_inputs(rd, args.in_libs, args.in_groups,
+                           ploidy=args.ploidy, log=log)
         elif args.frag_fastq:
             prepare_fastq_inputs(rd, args.frag_fastq, log)
         else:
-            ap.error("need --sim-genome or --frag-fastq (or an existing run dir)")
+            ap.error("need --sim-genome, --in-libs/--in-groups or "
+                     "--frag-fastq (or an existing run dir)")
 
     pipe = Pipeline(rd, cfg, log)
     final = pipe.run_full()
