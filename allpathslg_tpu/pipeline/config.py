@@ -27,6 +27,11 @@ class AssemblyConfig:
     precorrect: PrecorrectConfig = PrecorrectConfig()
     spectrum_ec: SpectrumECConfig = SpectrumECConfig()
     min_contig_len: int = 0         # 0 → 2*K default at report time
+    # aux subsystems (SURVEY.md §5)
+    check_mode: bool = False        # cross-validate device kernels vs numpy
+    profile_dir: str = ""           # jax.profiler trace dir ("" = off)
+    fault_stage: str = ""           # raise inside this stage (resume tests)
+    min_scaffold_len: int = 0       # submission min length (0 → min_contig)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -63,9 +63,18 @@ class Pipeline:
         if self.rd.stage_done(name, inputs_hash, outputs):
             self.log(f"[{name}] up to date, skipping")
             return self.rd.metrics(name)
+        if self.cfg.fault_stage == name:
+            # fault-injection hook (SURVEY.md §5.3): stage dies before any
+            # output is marked; a rerun must resume exactly here
+            raise RuntimeError(f"injected fault in stage {name}")
         t0 = time.time()
         self.log(f"[{name}] running...")
-        metrics = fn() or {}
+        if self.cfg.profile_dir:
+            import jax
+            with jax.profiler.trace(f"{self.cfg.profile_dir}/{name}"):
+                metrics = fn() or {}
+        else:
+            metrics = fn() or {}
         dt = time.time() - t0
         self.rd.mark_done(name, inputs_hash, outputs, metrics, dt)
         self.log(f"[{name}] done in {dt:.1f}s {metrics}")
@@ -87,6 +96,8 @@ class Pipeline:
             rd.save_arrays("kspec_25mer", spectrum=spec)
             if int(a["lengths"].min()) < cfg.K_ec:
                 raise ValueError("reads shorter than K_ec")
+            if cfg.check_mode:
+                self._check_spectrum_oracle(batch, spec)
             return {
                 "n_reads": int(batch.n_reads),
                 "genome_size_est": ana.genome_size_est,
@@ -772,6 +783,96 @@ class Pipeline:
                               ["final.assembly.fasta", "final.assembly.efasta"],
                               fn)
 
+    def submission_prep(self):
+        """NCBI-style submission package: renamed, length-filtered contig
+        FASTA + AGP (ref: SubmissionPrep — SURVEY.md §2.5 row 23)."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.scaffold import superb as ssb
+        import os
+
+        ih = rd.hash_of("submission", self._art_hash("contigs_final"),
+                        cfg.min_scaffold_len)
+
+        def fn():
+            art = "contigs_final" if rd.has("contigs_final") else "unibases"
+            u = rd.load_arrays(art)
+            offs = u["offsets"]
+            contigs = [u["bases"][offs[i]:offs[i + 1]]
+                       for i in range(len(offs) - 1)]
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            clens = np.diff(offs)
+            min_len = cfg.min_scaffold_len or cfg.min_contig_len or 2 * cfg.K
+            keep = [sb for sb in scaffolds if sb.length(clens) >= min_len]
+            sub = os.path.join(rd.path, "submission")
+            os.makedirs(sub, exist_ok=True)
+            # renumber contigs in scaffold order (the submission contract)
+            recs, agp_scaffs, used = [], [], []
+            remap = {}
+            for sb in keep:
+                for c in sb.contig_ids:
+                    if c not in remap:
+                        remap[c] = len(recs)
+                        recs.append((f"contig{len(recs) + 1:06d}",
+                                     contigs[c]))
+                        used.append(c)
+            for sb in keep:
+                import copy
+                sb2 = copy.deepcopy(sb)
+                sb2.contig_ids = [remap[c] for c in sb.contig_ids]
+                agp_scaffs.append(sb2)
+            fio.write_fasta(os.path.join(sub, "contigs.fsa"), recs)
+            ssb.write_agp(os.path.join(sub, "assembly.agp"), agp_scaffs,
+                          np.asarray([len(contigs[c]) for c in used]))
+            srecs = [(f"scaffold{si + 1:06d}",
+                      ssb.scaffold_sequence(sb, contigs))
+                     for si, sb in enumerate(keep)]
+            fio.write_fasta(os.path.join(sub, "scaffolds.fsa"), srecs)
+            return {"n_scaffolds_submitted": len(keep),
+                    "n_contigs_submitted": len(recs),
+                    "min_len": int(min_len)}
+
+        return self.run_stage("submission_prep", ih,
+                              ["submission/contigs.fsa",
+                               "submission/assembly.agp",
+                               "submission/scaffolds.fsa"], fn)
+
+    def _lib_coverage_lines(self, assembly_bases: int) -> List[str]:
+        """LibCoverage table (ref: src/paths/reporting/LibCoverage.cc —
+        per-library read counts, base counts, sequence & physical cov)."""
+        rd = self.rd
+        lines = ["library coverage:",
+                 f"{'lib':>12} {'type':>6} {'reads':>10} {'bases':>12} "
+                 f"{'seq_cov':>8} {'phys_cov':>9}"]
+        for art, typ in (("frag_reads_orig", "frag"),
+                         ("jump_reads_orig", "jump"),
+                         ("long_jump_reads_orig", "ljump")):
+            if not rd.has(art):
+                continue
+            a = rd.load_arrays(art)
+            lengths = a["lengths"]
+            pairs = a.get("pairs")
+            lib_ids = a.get("lib_ids")
+            seps = a.get("lib_sep", np.asarray([0]))
+            n_libs = len(seps)
+            for lib in range(n_libs):
+                if pairs is not None and len(pairs) and lib_ids is not None \
+                        and len(lib_ids) == len(pairs):
+                    sel_pairs = pairs[lib_ids == lib] if n_libs > 1 else pairs
+                else:
+                    sel_pairs = pairs if pairs is not None else None
+                if sel_pairs is not None and len(sel_pairs):
+                    ridx = sel_pairs.reshape(-1)
+                else:
+                    ridx = np.arange(len(lengths))
+                nb = int(lengths[ridx].sum())
+                seq_cov = nb / max(assembly_bases, 1)
+                n_pairs = len(sel_pairs) if sel_pairs is not None else 0
+                phys = (n_pairs * int(seps[lib]) / max(assembly_bases, 1)
+                        if n_pairs else seq_cov)
+                lines.append(f"{typ + str(lib):>12} {typ:>6} {len(ridx):>10} "
+                             f"{nb:>12} {seq_cov:>8.1f} {phys:>9.1f}")
+        return lines
+
     def report(self):
         cfg, rd = self.cfg, self.rd
         ih = rd.hash_of("report", self._art_hash("unibases"))
@@ -803,6 +904,8 @@ class Pipeline:
                 lines.append(f"scaffolds: {sm['n_scaffolds']}")
                 lines.append(f"scaffold N50: {sm['scaffold_n50']}")
                 lines.append(f"scaffold total: {sm['scaffold_total']}")
+            lines.append("")
+            lines.extend(self._lib_coverage_lines(int(st["total_bases"])))
             with open(rd.file_path("assembly.report"), "w") as f:
                 f.write("\n".join(lines) + "\n")
             self.log("\n".join(lines))
@@ -812,6 +915,28 @@ class Pipeline:
         return self.run_stage("report", ih, ["assembly.report"], fn)
 
     # ---- helpers ----
+    def _check_spectrum_oracle(self, batch, spec, n_sample: int = 512):
+        """--check mode (SURVEY.md §5.2): device k-mer counting vs the
+        python oracle on a sampled sub-batch. Raises on mismatch."""
+        from allpathslg_tpu.eval import oracle
+        import jax.numpy as jnp
+        cfg = self.cfg
+        codes = np.asarray(batch.codes)[:n_sample]
+        lens = np.asarray(batch.lengths)[:n_sample]
+        reads = [codes[i, : lens[i]] for i in range(codes.shape[0])]
+        want = oracle.kmer_spectrum(oracle.count_kmers(reads, cfg.K_ec),
+                                    cfg.max_freq)
+        got, _ = kcount.spectrum_reads(jnp.asarray(codes), cfg.K_ec,
+                                       cfg.max_freq)
+        got = np.asarray(got)
+        if not (got == want).all():
+            bad = np.nonzero(got != want)[0][:5]
+            raise AssertionError(
+                f"check_mode: device spectrum disagrees with oracle at "
+                f"freqs {bad.tolist()} (device {got[bad].tolist()} vs "
+                f"oracle {want[bad].tolist()})")
+        self.log(f"  [check] spectrum oracle ok on {len(reads)} reads")
+
     def _art_hash(self, name: str) -> str:
         """Cheap artifact fingerprint: file size + mtime."""
         import os
@@ -852,5 +977,6 @@ class Pipeline:
         self.polish()
         self.clean_final()
         self.finalize()
+        self.submission_prep()
         self.evaluate()
         return self.report()

@@ -1,0 +1,70 @@
+"""Aux subsystems: check mode, fault injection/resume, submission prep,
+library coverage report (SURVEY.md §5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from allpathslg_tpu.pipeline.config import AssemblyConfig
+from allpathslg_tpu.pipeline.rundir import RunDir
+from allpathslg_tpu.pipeline.run import prepare_sim_inputs
+from allpathslg_tpu.pipeline.stages import Pipeline
+
+
+def _mk(tmp_path, **cfg_kw):
+    rd = RunDir(str(tmp_path / "run"))
+    if not rd.has("frag_reads_orig"):
+        prepare_sim_inputs(rd, 30000, 40.0, 0.003, 100, 3,
+                           lambda *a: None, jump_coverage=20.0,
+                           jump_insert=2500, jump_sd=250)
+    cfg = AssemblyConfig.from_overrides(K=48, **cfg_kw)
+    return rd, Pipeline(rd, cfg, log=lambda *a: None)
+
+
+def test_check_mode_validates_against_oracle(tmp_path):
+    rd, pipe = _mk(tmp_path, check_mode=True, batch_reads=4096)
+    m = pipe.validate_inputs()
+    assert m["n_reads"] > 0  # ran without AssertionError
+
+
+def test_fault_injection_then_resume(tmp_path):
+    rd, pipe = _mk(tmp_path, fault_stage="find_errors", batch_reads=4096)
+    pipe.validate_inputs()
+    pipe.remove_dodgy()
+    pipe.precorrect()
+    with pytest.raises(RuntimeError, match="injected fault"):
+        pipe.find_errors()
+    # stage not marked done; earlier stages are
+    assert "precorrect" in rd.manifest["stages"]
+    assert "find_errors" not in rd.manifest["stages"]
+    # resume without the fault: completed stages skip, failed one runs
+    rd2 = RunDir(str(tmp_path / "run"))
+    cfg = AssemblyConfig.from_overrides(K=48, batch_reads=4096)
+    ran = []
+    pipe2 = Pipeline(rd2, cfg, log=lambda *a: ran.append(" ".join(map(str, a))))
+    pipe2.validate_inputs()
+    pipe2.precorrect()
+    pipe2.find_errors()
+    assert any("up to date" in l for l in ran)
+    assert "find_errors" in rd2.manifest["stages"]
+
+
+def test_full_run_emits_submission_and_libcoverage(tmp_path):
+    rd, pipe = _mk(tmp_path, batch_reads=8192)
+    pipe.run_full()
+    sub = os.path.join(rd.path, "submission")
+    assert os.path.exists(os.path.join(sub, "contigs.fsa"))
+    assert os.path.exists(os.path.join(sub, "assembly.agp"))
+    assert os.path.exists(os.path.join(sub, "scaffolds.fsa"))
+    m = rd.metrics("submission_prep")
+    assert m["n_contigs_submitted"] >= 1
+    with open(rd.file_path("assembly.report")) as f:
+        rep = f.read()
+    assert "library coverage:" in rep
+    assert "frag" in rep
+    # AGP sanity: every line has 9 columns, W rows reference contigs
+    with open(os.path.join(sub, "assembly.agp")) as f:
+        rows = [l.split("\t") for l in f if l.strip() and l[0] != "#"]
+    assert rows and all(len(r) == 9 for r in rows)
+    assert any(r[4] == "W" for r in rows)
