@@ -34,14 +34,15 @@ LANES = 128
 ROWS = 8  # query rows per grid step
 
 
-def _min_prefix(v, gap_cost, K):
-    """out[k] = min_{k'<=k} (v[k'] + (k-k')*gap)."""
-    ks = lax.broadcasted_iota(jnp.int32, v.shape, 0)
+def _min_prefix(v, gap_cost, K, ks):
+    """out[k] = min_{k'<=k} (v[k'] + (k-k')*gap).
+
+    Downward shifts via pltpu.roll (single sublane rotate, no concat
+    relayouts); wrapped-in rows are masked to BIG."""
     x = v - ks * gap_cost
     s = 1
     while s < K:
-        shifted = jnp.concatenate(
-            [jnp.full((s, v.shape[1]), BIG, jnp.int32), x[:-s, :]], axis=0)
+        shifted = jnp.where(ks >= s, pltpu.roll(x, s, 0), BIG)
         x = jnp.minimum(x, shifted)
         s *= 2
     return x + ks * gap_cost
@@ -67,21 +68,21 @@ def _kernel(q_ref, tal_ref, qlen_ref, tlen_ref, off_ref, cost_ref, tend_ref,
     prev = state_ref[:, :]
     result = result_ref[:, :]
 
+    j0 = (ib * ROWS + 1) + off[None, :] - band + ks
     for u in range(ROWS):
         r = ib * ROWS + u + 1
-        j = r + off[None, :] - band + ks
+        j = j0 + u
         in_t = (j >= 1) & (j <= tlen[None, :])
         tb = chunk[u : u + K, :].astype(jnp.int32)
         qb = q_ref[u, :].astype(jnp.int32)[None, :]
         sub = jnp.where(tb == qb, 0, sub_cost)
 
         diag = prev + sub
-        up = jnp.concatenate(
-            [prev[1:, :], jnp.full((1, LANES), BIG, jnp.int32)], 0) + gap_cost
+        up = jnp.where(ks < K - 1, pltpu.roll(prev, K - 1, 0), BIG) + gap_cost
         m = jnp.minimum(diag, up)
         m = jnp.where(in_t, m, BIG)
         m = jnp.where(j == 0, r * gap_cost, m)
-        row = jnp.minimum(m, _min_prefix(m, gap_cost, K))
+        row = jnp.minimum(m, _min_prefix(m, gap_cost, K, ks))
         row = jnp.where(in_t | (j == 0), row, BIG)
         result = jnp.where(qlen[None, :] == r, row, result)
         prev = row
@@ -123,12 +124,32 @@ def banded_align_pallas(q, q_len, t, t_len, offset, band: int = 16,
     S = max(S, Lq + 2 * band)
     S = ((S + 7) // 8) * 8
 
-    # t_al[s, b] = t[b, s - band + off_b]; 5 outside [0, t_len)
-    s = jnp.arange(S, dtype=jnp.int32)[:, None]
-    x = s - band + offset[None, :]
-    xc = jnp.clip(x, 0, Lt - 1)
-    g = jnp.take_along_axis(t, xc.T, axis=1).T.astype(jnp.int8)
-    t_al = jnp.where((x >= 0) & (x < t_len[None, :]), g, jnp.int8(5))
+    # t_al[s, b] = t[b, s - band + off_b]; never-matching 5 outside the
+    # padded target. Chunked two-level gather: take_along_axis on the TPU
+    # minor axis is per-element addressed (~7x slower measured); gathering
+    # 32-wide chunks then closing the residual shift with 32 fused selects
+    # is bandwidth-bound. Positions beyond t_len may carry real bases here —
+    # the kernel's in_t masking (j bounds) makes them inert.
+    CHG = 32
+    c = offset.astype(jnp.int32) - band
+    pad = ((band + CHG - 1) // CHG + 1) * CHG
+    Ltp = ((Lt + pad + S + 2 * CHG + CHG - 1) // CHG) * CHG
+    tp = jnp.pad(t.astype(jnp.int8), ((0, 0), (pad, Ltp - Lt - pad)),
+                 constant_values=5)
+    cp = c + pad
+    a_ = cp // CHG
+    rres = cp % CHG
+    nch = Ltp // CHG
+    tc = tp.reshape(B, nch, CHG)
+    m_ch = S // CHG + 2
+    idx = jnp.clip(a_[:, None] + jnp.arange(m_ch, dtype=jnp.int32)[None, :],
+                   0, nch - 1)
+    gf = jnp.take_along_axis(tc, idx[:, :, None], axis=1).reshape(B, m_ch * CHG)
+    acc = jnp.full((B, S), 5, jnp.int8)
+    for rr in range(CHG):
+        acc = jnp.where((rres == rr)[:, None],
+                        lax.dynamic_slice(gf, (0, rr), (B, S)), acc)
+    t_al = acc.T
 
     qT = q.T.astype(jnp.int32)  # [Lq, B]
 

@@ -33,20 +33,18 @@ def log(*a):
 
 def _probe_device(timeout_s=240):
     """The axon tunnel can wedge if a prior client was SIGKILLed mid-claim;
-    probe with a bounded wait instead of hanging the driver."""
-    import threading
+    probe in a SUBPROCESS with a bounded wait (an in-process probe thread
+    would race this process's own jax import for the device claim)."""
+    import subprocess
 
-    ok = [False]
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-        ok[0] = int(jnp.arange(8).sum()) == 28
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return ok[0]
+    code = ("import jax, jax.numpy as jnp; "
+            "assert int(jnp.arange(8).sum()) == 28")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
