@@ -6,6 +6,8 @@ Subcommands mirror the reference's ad-hoc executables:
   mutate       mutated copy of a reference genome   (ref: MutateReference)
   simulate     simulated paired reads from a FASTA  (ref: paths/simulation)
   kspec        k-mer spectrum + genome size report  (ref: KmerSpectra CLI use)
+  convert      fastq/fasta/sam <-> npz read arrays  (ref: Fastb converters)
+  align        place reads on a target FASTA        (ref: QueryLookupTable)
 
 Usage: python -m allpathslg_tpu.tools <subcommand> [args]
 """
@@ -118,6 +120,96 @@ def cmd_kspec(args):
     }))
 
 
+def cmd_convert(args):
+    """Format converters (ref: Fastb / Fasta2Fastb / FastbQualbToFastq —
+    SURVEY.md §2.6): fastq/fasta/sam → npz read arrays, npz → fastq/fasta."""
+    from allpathslg_tpu.io import fasta as fio
+
+    src, dst = args.src, args.out
+    if src.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+        from allpathslg_tpu.io import native_fastq
+        codes, quals, lengths = native_fastq.read_fastq_arrays(src)
+        pairs = None
+    elif src.endswith((".sam", ".sam.gz", ".bam")):
+        from allpathslg_tpu.io import sam as samio
+        rd = samio.read_bam if src.endswith(".bam") else samio.read_sam
+        codes, quals, lengths, pairs, _ = rd(src)
+    elif src.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        recs = fio.read_fasta(src)
+        lengths = np.asarray([len(s) for _, s in recs], np.int32)
+        lmax = int(lengths.max()) if len(recs) else 0
+        codes = np.full((len(recs), lmax), 4, np.uint8)
+        for i, (_, s) in enumerate(recs):
+            codes[i, : len(s)] = s
+        quals = np.full_like(codes, 30)
+        pairs = None
+    elif src.endswith(".npz"):
+        z = np.load(src)
+        codes, lengths = z["codes"], z["lengths"]
+        quals = z["quals"] if "quals" in z.files else None
+        if dst.endswith((".fastq", ".fq")):
+            q = quals if quals is not None else np.full_like(codes, 30)
+            fio.write_fastq(dst, ((f"read_{i}", codes[i, : lengths[i]],
+                                   q[i, : lengths[i]])
+                                  for i in range(codes.shape[0])))
+        else:
+            fio.write_fasta(dst, [(f"read_{i}", codes[i, : lengths[i]])
+                                  for i in range(codes.shape[0])])
+        print(f"wrote {codes.shape[0]} reads to {dst}")
+        return
+    else:
+        raise SystemExit(f"unsupported source format: {src}")
+    out = {"codes": codes, "lengths": lengths, "quals": quals}
+    if pairs is not None and len(pairs):
+        out["pairs"] = pairs
+    np.savez(dst if dst.endswith(".npz") else dst + ".npz",
+             **{k: v for k, v in out.items() if v is not None})
+    print(f"wrote {codes.shape[0]} reads to {dst}")
+
+
+def cmd_align(args):
+    """Standalone aligner CLI (ref: MakeLookupTable + QueryLookupTable —
+    SURVEY.md §2.6): place reads on a target FASTA; TSV of look_align-style
+    records (read, contig, pos, strand, mismatches, aligned)."""
+    import jax.numpy as jnp
+    from allpathslg_tpu.align import lookup as alook
+    from allpathslg_tpu.io import fasta as fio
+    from allpathslg_tpu.io import native_fastq
+
+    recs = fio.read_fasta(args.target)
+    bases = np.concatenate([s for _, s in recs])
+    offsets = np.zeros(len(recs) + 1, np.int64)
+    np.cumsum([len(s) for _, s in recs], out=offsets[1:])
+    if args.reads.endswith((".fa", ".fasta")):
+        rr = fio.read_fasta(args.reads)
+        lengths = np.asarray([len(s) for _, s in rr], np.int32)
+        lmax = int(lengths.max())
+        codes = np.full((len(rr), lmax), 4, np.uint8)
+        for i, (_, s) in enumerate(rr):
+            codes[i, : len(s)] = s
+    else:
+        codes, _, lengths = native_fastq.read_fastq_arrays(args.reads)
+    index = alook.build_index(bases, offsets, K=args.k)
+    acfg = alook.AlignConfig(K=args.k)
+    B = 4096
+    n = codes.shape[0]
+    pad = (-n) % B
+    if pad:
+        codes = np.concatenate([codes, np.full((pad, codes.shape[1]), 4,
+                                               np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+    for s in range(0, n + pad, B):
+        c, d, o, mm, ok = alook.align_reads(index, codes[s:s + B],
+                                            lengths[s:s + B], acfg, bases)
+        c, d, o, mm, ok = map(np.asarray, (c, d, o, mm, ok))
+        for i in range(min(B, n - s)):
+            r = s + i
+            strand = "-" if o[i] else "+"
+            print(f"read_{r}\t{recs[c[i]][0] if ok[i] else '*'}\t"
+                  f"{int(d[i]) if ok[i] else -1}\t{strand}\t{int(mm[i])}\t"
+                  f"{int(ok[i])}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="allpathslg_tpu.tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -153,6 +245,17 @@ def main(argv=None):
     p.add_argument("fastq")
     p.add_argument("--k", type=int, default=25)
     p.set_defaults(fn=cmd_kspec)
+
+    p = sub.add_parser("convert")
+    p.add_argument("src")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("align")
+    p.add_argument("reads")
+    p.add_argument("target")
+    p.add_argument("--k", type=int, default=24)
+    p.set_defaults(fn=cmd_align)
 
     args = ap.parse_args(argv)
     args.fn(args)
