@@ -172,10 +172,14 @@ class PathsDb:
 
 
 def build_pathsdb(rp: ReadPaths, n_unipaths: int) -> PathsDb:
+    from allpathslg_tpu.native.build import sort_u64_with_payload
     T = len(rp.uid)
     read_of_entry = np.repeat(np.arange(rp.n_reads, dtype=np.int32),
                               np.diff(rp.offsets))
-    order = np.argsort(rp.uid, kind="stable")
+    # native parallel radix sort on the host aggregation path (ref:
+    # ParallelSort behind the reference's pathsdb build)
+    _, order = sort_u64_with_payload(rp.uid.astype(np.uint64),
+                                     np.arange(T, dtype=np.int64))
     counts = np.bincount(rp.uid, minlength=n_unipaths)
     offsets = np.zeros(n_unipaths + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])

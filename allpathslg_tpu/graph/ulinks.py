@@ -100,8 +100,10 @@ def build_ulink_graph(rp: ReadPaths, pairs: np.ndarray,
     use_r = key_r < key_f
     key = np.where(use_r, key_r, key_f)
 
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
+    from allpathslg_tpu.native.build import sort_u64_with_payload
+    key_s, order = sort_u64_with_payload(
+        key.astype(np.uint64), np.arange(len(key), dtype=np.int64))
+    key_s = key_s.astype(np.int64)
     sep_s = sep[order].astype(np.float64)
     uniq, start, counts = np.unique(key_s, return_index=True,
                                     return_counts=True)

@@ -45,6 +45,35 @@ def load(name: str) -> Optional[ctypes.CDLL]:
         return lib
 
 
+def radix_lib() -> Optional[ctypes.CDLL]:
+    lib = load("radix_sort")
+    if lib is None:
+        return None
+    lib.radix_sort_u64.restype = ctypes.c_int
+    lib.radix_sort_u64.argtypes = [ctypes.POINTER(ctypes.c_uint64),
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.c_int64]
+    return lib
+
+
+def sort_u64_with_payload(keys, payload):
+    """Stable parallel sort of uint64 keys with an int64 payload, in place.
+    Falls back to numpy argsort when the native library is unavailable.
+    Returns (keys, payload) sorted."""
+    import numpy as np
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    payload = np.ascontiguousarray(payload, dtype=np.int64)
+    lib = radix_lib()
+    if lib is None or len(keys) < (1 << 14):
+        order = np.argsort(keys, kind="stable")
+        return keys[order], payload[order]
+    lib.radix_sort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(keys)))
+    return keys, payload
+
+
 def fastq_lib() -> Optional[ctypes.CDLL]:
     lib = load("fastq_reader")
     if lib is None:

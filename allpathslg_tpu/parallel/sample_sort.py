@@ -52,8 +52,11 @@ def _searchsorted_words(sorted_words, query_words):
     # binary search over lo/hi using lexicographic compare
     n = sorted_words[0].shape[0]
     q = query_words
-    lo = jnp.zeros(q[0].shape, jnp.int32)
-    hi = jnp.full(q[0].shape, n, jnp.int32)
+    # derive carries from the operands so their varying-axes type matches
+    # the loop body under shard_map's vma tracking
+    lo = (q[0] & jnp.uint32(0)).astype(jnp.int32) \
+        + (sorted_words[0][0] & jnp.uint32(0)).astype(jnp.int32)
+    hi = lo + n
 
     def less(words_at, qws):
         # words_at < qws lexicographically
@@ -157,8 +160,7 @@ def sample_sort(mesh: Mesh, words: Sequence[jnp.ndarray],
 
     in_specs = tuple([P(AXIS)] * (W + NP))
     out_specs = tuple([P(AXIS)] * (W + NP)) + (P(AXIS), P(AXIS))
-    f = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                  check_rep=False)
+    f = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     out = f(*(list(words) + list(payloads)))
     sw = list(out[:W])
     sp = list(out[W: W + NP])
