@@ -32,6 +32,8 @@ class AssemblyConfig:
     profile_dir: str = ""           # jax.profiler trace dir ("" = off)
     fault_stage: str = ""           # raise inside this stage (resume tests)
     min_scaffold_len: int = 0       # submission min length (0 → min_contig)
+    assist_ref: str = ""            # related-genome FASTA for assisted
+                                    # patching (ref: src/paths/assisted/)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -659,6 +659,70 @@ class Pipeline:
         return self.run_stage("long_read_patch", ih,
                               ["contigs_final.npz", "assembly.superb"], fn)
 
+    def assisted(self):
+        """AssistedPatcher (ref: src/paths/assisted/): a related genome
+        proposes scaffold-gap patches; reads must confirm every splice."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.asm import assisted as aast
+        from allpathslg_tpu.io import fasta as iofa
+        from allpathslg_tpu.scaffold import superb as ssb
+
+        ih = rd.hash_of("assisted", self._art_hash("contigs_final"),
+                        cfg.assist_ref)
+
+        def fn():
+            if not cfg.assist_ref:
+                return {"skipped": "no assisting reference"}
+            recs = iofa.read_fasta(cfg.assist_ref)
+            # concatenate records; N separators make invalid kmer windows
+            sep = np.full(64, 4, np.uint8)
+            parts = []
+            for _, seq in recs:
+                parts.extend([seq.astype(np.uint8), sep])
+            genome = np.concatenate(parts[:-1]) if parts \
+                else np.zeros(0, np.uint8)
+            art = "contigs_final" if rd.has("contigs_final") else "unibases"
+            u = rd.load_arrays(art)
+            offs = u["offsets"]
+            contigs = [u["bases"][offs[i]:offs[i + 1]]
+                       for i in range(len(offs) - 1)]
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            fr = rd.load_arrays("filled_reads")
+            acfg = aast.AssistConfig(patch_K=cfg.K_ec)
+            ck = kcount.count_reads_streaming(fr["codes"], acfg.patch_K,
+                                              batch_size=cfg.batch_reads)
+            ck = kcount.trim_to_host(ck)
+            placements = aast.place_contigs(contigs, genome, acfg)
+            # chain contigs that jump data left as singletons, then patch
+            # every junction (existing + assisted) with read confirmation
+            singles = {sb.contig_ids[0] for sb in scaffolds
+                       if sb.n_contigs == 1}
+            multi = [sb for sb in scaffolds if sb.n_contigs > 1]
+            pl_sub = [p if (p is not None and p.contig in singles) else None
+                      for p in placements]
+            chained = aast.assist_scaffold(pl_sub, len(contigs), acfg)
+            chained = [sb for sb in chained
+                       if all(c in singles for c in sb.contig_ids)]
+            n_joins = sum(max(0, sb.n_contigs - 1) for sb in chained)
+            contigs2, scaffolds2, m = aast.assisted_patch(
+                multi + chained, contigs, genome, placements, ck, acfg)
+            m["n_assisted_joins"] = n_joins
+            used = sorted({c for sb in scaffolds2 for c in sb.contig_ids})
+            remap = {c: i for i, c in enumerate(used)}
+            bases = np.concatenate([np.asarray(contigs2[c]) for c in used]) \
+                if used else np.zeros(0, np.uint8)
+            offsets = np.zeros(len(used) + 1, np.int64)
+            np.cumsum([len(contigs2[c]) for c in used], out=offsets[1:])
+            for sb in scaffolds2:
+                sb.contig_ids = [remap[c] for c in sb.contig_ids]
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            ssb.write_superb(rd.file_path("assembly.superb"), scaffolds2)
+            m["n_contigs_placed"] = sum(p is not None for p in placements)
+            return m
+
+        return self.run_stage("assisted", ih,
+                              ["contigs_final.npz", "assembly.superb"], fn)
+
     def polish(self):
         """FixSomeIndels-style consensus polish of the final contigs."""
         cfg, rd = self.cfg, self.rd
@@ -889,7 +953,7 @@ class Pipeline:
                       "find_errors", "clean_reads", "fill_fragments",
                       "unipaths", "jump_ec", "align_jumps", "make_scaffolds",
                       "align_frags", "patch_gaps", "long_read_patch",
-                      "polish", "clean_final", "evaluate"]:
+                      "assisted", "polish", "clean_final", "evaluate"]:
                 m = self.rd.metrics(s)
                 if m:
                     lines.append(f"[{s}] " + ", ".join(f"{k}={v}" for k, v in m.items()))
@@ -974,6 +1038,8 @@ class Pipeline:
         self.patch_gaps()
         if self.rd.has("long_reads_orig"):
             self.long_read_patch()
+        if self.cfg.assist_ref:
+            self.assisted()
         self.polish()
         self.clean_final()
         self.finalize()
