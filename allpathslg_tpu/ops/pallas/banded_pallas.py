@@ -4,18 +4,23 @@ Same semantics as ops/banded.py (ref: SmithWatBandedA) but engineered for
 the TPU memory system:
 
   * problems across the 128 lanes, band across sublanes;
-  * each target is pre-aligned by its diagonal offset ONCE (one [B, S]
-    gather, with out-of-range columns baked to a never-matching code), so
-    in-kernel the row-r window is simply rows [u, u+K) of an aligned chunk
-    — static shifted slices, no gathers, no per-lane indexing;
+  * each target is aligned to its diagonal offset INSIDE the kernel, once
+    per lane-block: a per-lane log-shift (log2(shift range) lane-masked
+    `pltpu.roll`s over the VMEM-resident target block) writes an aligned
+    copy to scratch — no HBM gather at all (the previous host-side chunked
+    gather dominated end-to-end time ~8x over the DP itself);
   * 8 query rows per grid step (aligned dynamic chunk loads, unrolled in
     python) to amortize grid-step overhead;
   * the within-row horizontal dependency closes in log2(K) min-plus
     doubling steps on the band axis.
 
-t_aligned layout: t_al[s, b] = t[b, (s - band) + off_b] (code 5 outside the
+Aligned layout: t_al[s, b] = t[b, (s - band) + off_b] (code 5 outside the
 target), so tb(row r, slot k) = t_al[(r-1) + k] and for the 8-row group
 starting at grid row i: chunk = t_al[8i : 8i + CH], tb(u, k) = chunk[u + k].
+The host pads the target left by a static P rows of code 5 so the per-lane
+shift s_b = off_b - band + P is non-negative; offsets outside the feasible
+window [-(Lq+band), Lt+band] are clamped with t_len forced to -1 (every
+band cell then fails the j-bounds mask, preserving cost=BIG semantics).
 """
 
 from __future__ import annotations
@@ -48,8 +53,9 @@ def _min_prefix(v, gap_cost, K, ks):
     return x + ks * gap_cost
 
 
-def _kernel(q_ref, tal_ref, qlen_ref, tlen_ref, off_ref, cost_ref, tend_ref,
-            state_ref, result_ref, *, Lq, K, CH, band, sub_cost, gap_cost):
+def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
+            cost_ref, tend_ref, state_ref, result_ref, tal_ref,
+            *, Lq, K, CH, band, sub_cost, gap_cost, S, Ltp, shift_bits):
     ib = pl.program_id(1)
     n_ib = pl.num_programs(1)
     qlen = qlen_ref[0, :]
@@ -63,6 +69,17 @@ def _kernel(q_ref, tal_ref, qlen_ref, tlen_ref, off_ref, cost_ref, tend_ref,
         row0 = jnp.where((j0 >= 0) & (j0 <= tlen[None, :]), 0, BIG)
         state_ref[:, :] = row0
         result_ref[:, :] = row0  # q_len == 0 answer
+        # Align the target block to each lane's diagonal: x[s] <- x[s+sh_b]
+        # by lane-masked power-of-two upward rolls. Rows we consume satisfy
+        # s + sh < Ltp by construction, so wraparound rows are never read.
+        sh = shift_ref[0, :]
+        x = tp_ref[:, :]
+        for bit in range(shift_bits):
+            amt = (1 << bit) % Ltp
+            rolled = pltpu.roll(x, Ltp - amt, 0)
+            cond = ((sh & (1 << bit)) != 0)[None, :]
+            x = jnp.where(cond, rolled, x)
+        tal_ref[:, :] = x[0:S, :]
 
     chunk = tal_ref[pl.ds(pl.multiple_of(ib * ROWS, ROWS), CH), :]
     prev = state_ref[:, :]
@@ -124,44 +141,39 @@ def banded_align_pallas(q, q_len, t, t_len, offset, band: int = 16,
     S = max(S, Lq + 2 * band)
     S = ((S + 7) // 8) * 8
 
-    # t_al[s, b] = t[b, s - band + off_b]; never-matching 5 outside the
-    # padded target. Chunked two-level gather: take_along_axis on the TPU
-    # minor axis is per-element addressed (~7x slower measured); gathering
-    # 32-wide chunks then closing the residual shift with 32 fused selects
-    # is bandwidth-bound. Positions beyond t_len may carry real bases here —
-    # the kernel's in_t masking (j bounds) makes them inert.
-    CHG = 32
-    c = offset.astype(jnp.int32) - band
-    pad = ((band + CHG - 1) // CHG + 1) * CHG
-    Ltp = ((Lt + pad + S + 2 * CHG + CHG - 1) // CHG) * CHG
-    tp = jnp.pad(t.astype(jnp.int8), ((0, 0), (pad, Ltp - Lt - pad)),
+    # Feasible-offset clamp: outside [-(Lq+band), Lt+band] no band cell can
+    # land inside the target; clamp the offset (to bound the shift range
+    # statically) and kill the problem via t_len = -1.
+    off32 = offset.astype(jnp.int32)
+    off_min, off_max = -(Lq + band), Lt + band
+    bad = (off32 < off_min) | (off32 > off_max)
+    offc = jnp.clip(off32, off_min, off_max)
+    tl32 = jnp.where(bad, -1, t_len.astype(jnp.int32))
+
+    # Static left pad P makes shift = off - band + P >= 0; the kernel reads
+    # aligned rows s in [0, S) from source rows s + shift < Ltp.
+    P = Lq + 2 * band
+    shift = offc - band + P
+    shift_max = Lt + P
+    Ltp = ((shift_max + S + 7) // 8) * 8
+    shift_bits = max(1, shift_max.bit_length())
+    tp = jnp.pad(t.astype(jnp.int32), ((0, 0), (P, Ltp - Lt - P)),
                  constant_values=5)
-    cp = c + pad
-    a_ = cp // CHG
-    rres = cp % CHG
-    nch = Ltp // CHG
-    tc = tp.reshape(B, nch, CHG)
-    m_ch = S // CHG + 2
-    idx = jnp.clip(a_[:, None] + jnp.arange(m_ch, dtype=jnp.int32)[None, :],
-                   0, nch - 1)
-    gf = jnp.take_along_axis(tc, idx[:, :, None], axis=1).reshape(B, m_ch * CHG)
-    acc = jnp.full((B, S), 5, jnp.int8)
-    for rr in range(CHG):
-        acc = jnp.where((rres == rr)[:, None],
-                        lax.dynamic_slice(gf, (0, rr), (B, S)), acc)
-    t_al = acc.T
+    tpT = tp.T  # [Ltp, B]
 
     qT = q.T.astype(jnp.int32)  # [Lq, B]
 
     grid = (B // LANES, Lq // ROWS)
     kern = functools.partial(_kernel, Lq=Lq, K=K, CH=CH, band=band,
-                             sub_cost=sub_cost, gap_cost=gap_cost)
+                             sub_cost=sub_cost, gap_cost=gap_cost,
+                             S=S, Ltp=Ltp, shift_bits=shift_bits)
     cost, tend = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROWS, LANES), lambda b, i: (i, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ltp, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
@@ -177,9 +189,11 @@ def banded_align_pallas(q, q_len, t, t_len, offset, band: int = 16,
         scratch_shapes=[
             pltpu.VMEM((K, LANES), jnp.int32),
             pltpu.VMEM((K, LANES), jnp.int32),
+            pltpu.VMEM((S, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(qT, t_al, q_len.reshape(1, B).astype(jnp.int32),
-      t_len.reshape(1, B).astype(jnp.int32),
-      offset.reshape(1, B).astype(jnp.int32))
+    )(qT, tpT, q_len.reshape(1, B).astype(jnp.int32),
+      tl32.reshape(1, B),
+      offc.reshape(1, B),
+      shift.reshape(1, B))
     return cost[0], tend[0]
