@@ -1,10 +1,15 @@
 """Pallas TPU bitonic sort for 2-word (uint32, uint32) lexicographic keys.
 
-Replaces `lax.sort` on the k-mer counting hot path (ref: the OpenMP
-`ParallelSort` engine behind naif_kmerize, src/ParallelVecUtilities.h).
-XLA's comparison-network sort pays a generic comparator and cannot fuse
-stages; this kernel keeps whole 2^19-element tiles resident in VMEM and
-runs every in-tile stage of the bitonic network in one kernel visit.
+Candidate replacement for `lax.sort` on the k-mer counting hot path (ref:
+the OpenMP `ParallelSort` engine behind naif_kmerize,
+src/ParallelVecUtilities.h). The kernel keeps whole tiles resident in VMEM
+and runs every in-tile stage of the bitonic network in one kernel visit.
+
+MEASURED OUTCOME (v5e, 2^24 elems): 133–164 ms vs `lax.sort` 2-key 41 ms —
+the traced-shift `pltpu.roll` + per-stage `lax.cond` dominate; XLA's own
+sort is already within ~1.4x of the VPU op-count floor (~30 G ops). Kept as
+a correct, tested reference of the VMEM-resident formulation; the
+production path stays on `lax.sort` (ops/sort.py).
 
 Index scheme: the virtual sorted index j of N = T * 2^19 elements has bits
 [t | c(7) | r(TILE_R_BITS=12)] — t = tile, c = lane, r = row-within-tile.
@@ -37,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 LANE_BITS = 7
-TILE_R_BITS = 11            # rows per tile: [2^11, 128] uint32 = 1 MB/word,
+TILE_R_BITS = 10            # rows per tile: [2^10, 128] uint32 = 512 KB/word; the
                             # sized so sweep temporaries fit the 16 MB VMEM
 
 
@@ -96,7 +101,7 @@ def _local_kernel(w0_ref, w1_ref, o0_ref, o1_ref, *, tile_r_bits,
             def stage(i, carry):
                 w0, w1 = carry
                 e = k - 1 - i
-                return _sweep(w0, w1, jv, jfull, e, k, tile_r_bits)
+                return _sweep(w0, w1, jfull, e, k, tile_r_bits)
             return lax.fori_loop(0, k, stage, carry)
         w0, w1 = lax.fori_loop(1, min(in_bits, n_levels) + 1, level, (w0, w1))
     else:
@@ -104,7 +109,7 @@ def _local_kernel(w0_ref, w1_ref, o0_ref, o1_ref, *, tile_r_bits,
         def stage(i, carry):
             w0, w1 = carry
             e = in_bits - 1 - i
-            return _sweep(w0, w1, jv, jfull, e, k, tile_r_bits)
+            return _sweep(w0, w1, jfull, e, k, tile_r_bits)
         w0, w1 = lax.fori_loop(0, in_bits, stage, (w0, w1))
 
     o0_ref[:, :] = w0
