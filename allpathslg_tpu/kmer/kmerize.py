@@ -56,14 +56,18 @@ def _window_words(packed: jnp.ndarray, K: int, P: int):
         if w == W - 1:
             word = word & lw_mask
         fwd.append(word)
+    # rev2(~x) is elementwise, so compute it ONCE over the whole packed
+    # array and slice per word (W slices of one pass instead of W full
+    # bit-reversal passes — matters most at K=96 where W=6).
+    rev2c = bits._rev2_word(~packed)
     rev = []
     for w in range(W):
         s = K - 16 * (w + 1)
         if s >= 0:
-            word = bits._rev2_word(~packed[:, s : s + P])
+            word = rev2c[:, s : s + P]
         else:
             r = K - 16 * w  # bases in this (last) word, 1..15
-            word = bits._rev2_word(~packed[:, 0:P]) << U32(32 - 2 * r)
+            word = rev2c[:, 0:P] << U32(32 - 2 * r)
         if w == W - 1:
             word = word & lw_mask
         rev.append(word)

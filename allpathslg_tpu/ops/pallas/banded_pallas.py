@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1 << 20
 LANES = 128
-ROWS = 8  # query rows per grid step
+ROWS = 8  # default query rows per grid step
 
 
 def _min_prefix(v, gap_cost, K, ks):
@@ -55,7 +55,8 @@ def _min_prefix(v, gap_cost, K, ks):
 
 def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
             cost_ref, tend_ref, state_ref, result_ref, tal_ref,
-            *, Lq, K, CH, band, sub_cost, gap_cost, S, Ltp, shift_bits):
+            *, Lq, K, CH, band, sub_cost, gap_cost, S, Ltp, shift_bits,
+            rows):
     ib = pl.program_id(1)
     n_ib = pl.num_programs(1)
     qlen = qlen_ref[0, :]
@@ -81,13 +82,13 @@ def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
             x = jnp.where(cond, rolled, x)
         tal_ref[:, :] = x[0:S, :]
 
-    chunk = tal_ref[pl.ds(pl.multiple_of(ib * ROWS, ROWS), CH), :]
+    chunk = tal_ref[pl.ds(pl.multiple_of(ib * rows, rows), CH), :]
     prev = state_ref[:, :]
     result = result_ref[:, :]
 
-    j0 = (ib * ROWS + 1) + off[None, :] - band + ks
-    for u in range(ROWS):
-        r = ib * ROWS + u + 1
+    j0 = (ib * rows + 1) + off[None, :] - band + ks
+    for u in range(rows):
+        r = ib * rows + u + 1
         j = j0 + u
         in_t = (j >= 1) & (j <= tlen[None, :])
         tb = chunk[u : u + K, :].astype(jnp.int32)
@@ -122,22 +123,22 @@ def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("band", "sub_cost", "gap_cost",
-                                             "interpret"))
+                                             "interpret", "rows"))
 def banded_align_pallas(q, q_len, t, t_len, offset, band: int = 16,
                         sub_cost: int = 1, gap_cost: int = 1,
-                        interpret: bool = False):
+                        interpret: bool = False, rows: int = ROWS):
     """Drop-in replacement for ops.banded.banded_align (B must be a
     multiple of 128; pad with q_len=0 rows)."""
     B, Lq0 = q.shape
     Lt = t.shape[1]
     K = 2 * band + 1
     assert B % LANES == 0, f"B={B} must be a multiple of {LANES}"
-    Lq = ((Lq0 + ROWS - 1) // ROWS) * ROWS
+    Lq = ((Lq0 + rows - 1) // rows) * rows
     if Lq != Lq0:
         q = jnp.pad(q, ((0, 0), (0, Lq - Lq0)), constant_values=4)
 
-    CH = ROWS - 1 + K          # chunk rows needed per 8-row group
-    S = (Lq - ROWS) + CH       # last chunk start + size
+    CH = rows - 1 + K          # chunk rows needed per row-group
+    S = (Lq - rows) + CH       # last chunk start + size
     S = max(S, Lq + 2 * band)
     S = ((S + 7) // 8) * 8
 
@@ -163,15 +164,15 @@ def banded_align_pallas(q, q_len, t, t_len, offset, band: int = 16,
 
     qT = q.T.astype(jnp.int32)  # [Lq, B]
 
-    grid = (B // LANES, Lq // ROWS)
+    grid = (B // LANES, Lq // rows)
     kern = functools.partial(_kernel, Lq=Lq, K=K, CH=CH, band=band,
                              sub_cost=sub_cost, gap_cost=gap_cost,
-                             S=S, Ltp=Ltp, shift_bits=shift_bits)
+                             S=S, Ltp=Ltp, shift_bits=shift_bits, rows=rows)
     cost, tend = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROWS, LANES), lambda b, i: (i, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), lambda b, i: (i, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((Ltp, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, i: (0, b), memory_space=pltpu.VMEM),
