@@ -26,13 +26,16 @@ Formulation (slot k = j - i - off + band, K = 2*band+1 <= 32):
   sides — left-extension cells then equal i exactly (the j=0 deletion
   column) and right-extension cells are provably never read by valid cells.
 
-Layout: problems on the 128 lanes; the target is bit-packed per base code
-(4 planes) and aligned to each lane's diagonal offset IN the kernel: pack
-first ([Ltp,128] chars -> [Wt,128] uint32 bit-planes), then shift per lane
-by sh = off - band + P via masked word rolls (sh >> 5) plus one per-lane
-variable-shift funnel (sh & 31) — ~100x less data moved than aligning
-chars. 32 query rows per grid step makes the per-row window a STATIC
-funnel of two consecutive aligned words (word index == program_id).
+Layout (full-VPU): each grid block carries 1024 problems as an [8, 128]
+tile — 8 problems down the sublanes x 128 across the lanes — so every
+bitwise op in the row loop advances 1024 bands at once. Word-indexed
+arrays (target bit-planes) are [n*8, 128] with row w*8 + s. The target is
+bit-packed per base code (4 planes) and aligned to each problem's diagonal
+IN the kernel: pack first, then shift per problem by sh = off - band + P
+via masked 8-row word rolls (sh >> 5) plus one variable-shift funnel
+(sh & 31) — ~100x less data moved than aligning chars. 32 query rows per
+grid step makes the per-row window a STATIC funnel of two consecutive
+aligned words (word index == program_id).
 """
 
 from __future__ import annotations
@@ -47,40 +50,51 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1 << 20
 LANES = 128
+SUBS = 8
+TILE = SUBS * LANES  # problems per grid block
 ROWS = 32  # rows per grid step; MUST stay 32 (window word index == ib)
 
 U32 = jnp.uint32
 
 
-def _pack_planes(tp, Wt):
-    """[Ltp, 128] int32 codes -> 4 x [Wt, 128] uint32 bit planes (bit b of
-    word w is (tp[32w + b] == sigma); sentinel codes never match)."""
-    Ltp = tp.shape[0]
-    r = lax.broadcasted_iota(jnp.int32, (Ltp, LANES), 0)
-    sh = r & 31
+def _pack_planes(tpb, Wt):
+    """[Ltp*8, 128] int32 codes (row t*8+s) -> 4 planes [Wt*8, 128] uint32
+    (row w*8+s; bit b of word w is (t[32w+b] == sigma))."""
+    n = tpb.shape[0]
+    rr = lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+    sh = (rr >> 3) & 31
     planes = []
     for sigma in range(4):
         # sum in int32 (Mosaic has no unsigned reductions); the bit
         # positions are disjoint so two's-complement addition == OR
-        bits = (tp == sigma).astype(jnp.int32) << sh
-        acc = jnp.sum(bits.reshape(Wt, 32, LANES), axis=1, dtype=jnp.int32)
-        planes.append(lax.bitcast_convert_type(acc, U32))
+        bits = (tpb == sigma).astype(jnp.int32) << sh
+        acc = jnp.sum(bits.reshape(Wt, 32, SUBS, LANES), axis=1,
+                      dtype=jnp.int32)
+        planes.append(lax.bitcast_convert_type(acc.reshape(Wt * SUBS, LANES),
+                                               U32))
     return planes
 
 
-def _align_plane(bp, ws, bs, Wt, ws_bits):
-    """Per-lane bit-stream shift: out word w = bits [32w+sh .. 32w+31+sh]
-    of plane `bp`, sh = 32*ws + bs. Word part: masked power-of-2 upward
+def _bcast_words(m, Wt):
+    """[8,128] -> [Wt*8,128] repeating per word row-group."""
+    return jnp.broadcast_to(m[None], (Wt, SUBS, LANES)).reshape(
+        Wt * SUBS, LANES)
+
+
+def _align_plane(bp, wsf, bsf, Wt, ws_bits):
+    """Per-problem bit-stream shift: out word w = bits [32w+sh..32w+31+sh]
+    of plane `bp`, sh = 32*ws + bs. Word part: masked power-of-2 8-row
     rolls; bit part: variable-shift funnel with the next word."""
+    n = Wt * SUBS
     x = bp
     for bit in range(ws_bits):
         amt = (1 << bit) % Wt
-        rolled = pltpu.roll(x, Wt - amt, 0)
-        x = jnp.where(((ws >> bit) & 1) != 0, rolled, x)
-    nxt = pltpu.roll(x, Wt - 1, 0)
-    hi = jnp.where(bs == 0, U32(0), nxt << jnp.where(bs == 0, U32(0),
-                                                     U32(32) - bs))
-    return (x >> bs) | hi
+        rolled = pltpu.roll(x, n - SUBS * amt, 0)
+        x = jnp.where(((wsf >> bit) & 1) != 0, rolled, x)
+    nxt = pltpu.roll(x, n - SUBS, 0)
+    hi = jnp.where(bsf == 0, U32(0),
+                   nxt << jnp.where(bsf == 0, U32(0), U32(32) - bsf))
+    return (x >> bsf) | hi
 
 
 def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
@@ -89,49 +103,52 @@ def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
             *, K, band, Wt, Wa, ws_bits, rows):
     ib = pl.program_id(1)
     n_ib = pl.num_programs(1)
-    qlen = qlen_ref[0, :]
+    qlen = qlen_ref[:, :]
 
     kmask = U32((1 << K) - 1)
     bandmask = U32(((1 << K) - 1) & ~1)
 
     @pl.when(ib == 0)
     def _init():
-        sh = shift_ref[0, :].astype(U32)
-        ws = (sh >> 5)[None, :]
-        bs = (sh & 31)[None, :]
+        sh = lax.bitcast_convert_type(shift_ref[:, :], U32)
+        wsf = _bcast_words(sh >> 5, Wt)
+        bsf = _bcast_words(sh & 31, Wt)
         planes = _pack_planes(tp_ref[:, :], Wt)
         for ref, bpl in zip((aw0, aw1, aw2, aw3), planes):
-            ref[0:Wa, :] = _align_plane(bpl, ws, bs, Wt, ws_bits)[0:Wa, :]
-        z = jnp.zeros((1, LANES), U32)
+            ref[0 : Wa * SUBS, :] = _align_plane(
+                bpl, wsf, bsf, Wt, ws_bits)[0 : Wa * SUBS, :]
+        z = jnp.zeros((SUBS, LANES), U32)
         pv[:, :] = z
         mv[:, :] = z
         rp[:, :] = z
         rm[:, :] = z
-        s0v[:, :] = jnp.zeros((1, LANES), jnp.int32)
-        rs0[:, :] = jnp.zeros((1, LANES), jnp.int32)
+        s0v[:, :] = jnp.zeros((SUBS, LANES), jnp.int32)
+        rs0[:, :] = jnp.zeros((SUBS, LANES), jnp.int32)
 
-    pair0 = aw0[pl.ds(ib, 2), :]
-    pair1 = aw1[pl.ds(ib, 2), :]
-    pair2 = aw2[pl.ds(ib, 2), :]
-    pair3 = aw3[pl.ds(ib, 2), :]
+    pairs = [ref[pl.ds(ib * SUBS, 2 * SUBS), :]
+             for ref in (aw0, aw1, aw2, aw3)]
 
-    P = pv[0, :]
-    M = mv[0, :]
-    s0 = s0v[0, :]
-    resP = rp[0, :]
-    resM = rm[0, :]
-    resS0 = rs0[0, :]
+    P = pv[:, :]
+    M = mv[:, :]
+    s0 = s0v[:, :]
+    resP = rp[:, :]
+    resM = rm[:, :]
+    resS0 = rs0[:, :]
 
     for u in range(rows):
         r = ib * rows + (u + 1)  # query row index i
-        qc = q_ref[u, :]
-        w0 = jnp.where(qc == 0, pair0[0], jnp.where(qc == 1, pair1[0],
-                       jnp.where(qc == 2, pair2[0], pair3[0])))
+        qc = q_ref[u * SUBS : (u + 1) * SUBS, :]
+        w0 = jnp.where(qc == 0, pairs[0][0:SUBS],
+                       jnp.where(qc == 1, pairs[1][0:SUBS],
+                                 jnp.where(qc == 2, pairs[2][0:SUBS],
+                                           pairs[3][0:SUBS])))
         if u == 0:
             eq = w0
         else:
-            w1 = jnp.where(qc == 0, pair0[1], jnp.where(qc == 1, pair1[1],
-                           jnp.where(qc == 2, pair2[1], pair3[1])))
+            w1 = jnp.where(qc == 0, pairs[0][SUBS:],
+                           jnp.where(qc == 1, pairs[1][SUBS:],
+                                     jnp.where(qc == 2, pairs[2][SUBS:],
+                                               pairs[3][SUBS:])))
             eq = (w0 >> U32(u)) | (w1 << U32(32 - u))
         eq = jnp.where(qc >= 4, U32(0), eq) & kmask
 
@@ -151,24 +168,24 @@ def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
         resM = jnp.where(sel, M, resM)
         resS0 = jnp.where(sel, s0, resS0)
 
-    pv[0, :] = P
-    mv[0, :] = M
-    s0v[0, :] = s0
-    rp[0, :] = resP
-    rm[0, :] = resM
-    rs0[0, :] = resS0
+    pv[:, :] = P
+    mv[:, :] = M
+    s0v[:, :] = s0
+    rp[:, :] = resP
+    rm[:, :] = resM
+    rs0[:, :] = resS0
 
     @pl.when(ib == n_ib - 1)
     def _finish():
-        tlen = tlen_ref[0, :]
-        off = off_ref[0, :]
-        ql = qlen_ref[0, :]
-        fP = rp[0, :]
-        fM = rm[0, :]
-        val = rs0[0, :]
+        tlen = tlen_ref[:, :]
+        off = off_ref[:, :]
+        ql = qlen_ref[:, :]
+        fP = rp[:, :]
+        fM = rm[:, :]
+        val = rs0[:, :]
         jbase = ql + off - band
-        cost = jnp.full((LANES,), BIG, jnp.int32)
-        tend = jnp.full((LANES,), -1, jnp.int32)
+        cost = jnp.full((SUBS, LANES), BIG, jnp.int32)
+        tend = jnp.full((SUBS, LANES), -1, jnp.int32)
         for k in range(K):
             if k > 0:
                 val = (val + ((fP >> k) & 1).astype(jnp.int32)
@@ -179,8 +196,27 @@ def _kernel(q_ref, tp_ref, qlen_ref, tlen_ref, off_ref, shift_ref,
             better = cand < cost
             cost = jnp.where(better, cand, cost)
             tend = jnp.where(better, jf, tend)
-        cost_ref[0, :] = cost
-        tend_ref[0, :] = jnp.where(cost < BIG, tend, -1)
+        cost_ref[:, :] = cost
+        tend_ref[:, :] = jnp.where(cost < BIG, tend, -1)
+
+
+def _to_tiles(x, G):
+    """[B, L] -> [L*8, G*128]: row u*8+s, col g*128+l for p = g*1024+s*128+l."""
+    L = x.shape[1]
+    return x.reshape(G, SUBS, LANES, L).transpose(3, 1, 0, 2).reshape(
+        L * SUBS, G * LANES)
+
+
+def _scalar_tiles(x, G):
+    """[B] -> [8, G*128]."""
+    return x.reshape(G, SUBS, LANES).transpose(1, 0, 2).reshape(
+        SUBS, G * LANES)
+
+
+def _from_tiles(x, B):
+    """[8, G*128] -> [B]."""
+    G = x.shape[1] // LANES
+    return x.reshape(SUBS, G, LANES).transpose(1, 0, 2).reshape(B)
 
 
 @functools.partial(jax.jit, static_argnames=("band", "interpret"))
@@ -189,13 +225,21 @@ def banded_align_bp(q, q_len, t, t_len, offset, band: int = 15,
     """Bit-parallel drop-in for ops.banded.banded_align at unit costs.
 
     Requires band <= 15 (K = 2*band+1 <= 31 so the band plus its guard bit
-    fits a uint32 word) and B a multiple of 128.
+    fits a uint32 word). Any batch size (padded to 1024 internally).
     """
-    B, Lq0 = q.shape
+    B0, Lq0 = q.shape
     Lt = t.shape[1]
     K = 2 * band + 1
     assert K <= 32, f"band={band} too wide for the bit-parallel kernel"
-    assert B % LANES == 0, f"B={B} must be a multiple of {LANES}"
+    B = ((B0 + TILE - 1) // TILE) * TILE
+    if B != B0:
+        pad = B - B0
+        q = jnp.pad(q, ((0, pad), (0, 0)), constant_values=4)
+        t = jnp.pad(t, ((0, pad), (0, 0)), constant_values=4)
+        q_len = jnp.pad(q_len, (0, pad))
+        t_len = jnp.pad(t_len, (0, pad))
+        offset = jnp.pad(offset, (0, pad))
+    G = B // TILE
     rows = ROWS
     Lq = ((Lq0 + rows - 1) // rows) * rows
     if Lq != Lq0:
@@ -210,50 +254,50 @@ def banded_align_bp(q, q_len, t, t_len, offset, band: int = 15,
 
     P = Lq + 2 * band              # static left pad => shift >= 0
     shift = offc - band + P
-    shift_max = Lt + band - band + P  # offc <= Lt + band
+    shift_max = Lt + P             # offc <= Lt + band
     ws_bits = max(1, (shift_max >> 5).bit_length())
     Wa = ((Lq + K - 2) >> 5) + 2   # aligned words consumed (incl. funnel)
     Ltp = shift_max + 32 * Wa + 32
     Wt = (Ltp + 31) // 32
-    Wt = ((Wt + 7) // 8) * 8       # sublane-aligned plane height
     Ltp = 32 * Wt
     tp = jnp.pad(t.astype(jnp.int32), ((0, 0), (P, Ltp - Lt - P)),
                  constant_values=5)
 
-    grid = (B // LANES, Lq // rows)
+    grid = (G, Lq // rows)
     kern = functools.partial(_kernel, K=K, band=band, Wt=Wt, Wa=Wa,
                              ws_bits=ws_bits, rows=rows)
-    lane_spec = pl.BlockSpec((1, LANES), lambda b, i: (0, b),
+    tile_spec = pl.BlockSpec((SUBS, LANES), lambda b, i: (0, b),
                              memory_space=pltpu.VMEM)
     cost, tend = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, LANES), lambda b, i: (i, b),
+            pl.BlockSpec((rows * SUBS, LANES), lambda b, i: (i, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ltp, LANES), lambda b, i: (0, b),
+            pl.BlockSpec((Ltp * SUBS, LANES), lambda b, i: (0, b),
                          memory_space=pltpu.VMEM),
-            lane_spec, lane_spec, lane_spec, lane_spec,
+            tile_spec, tile_spec, tile_spec, tile_spec,
         ],
-        out_specs=[lane_spec, lane_spec],
+        out_specs=[tile_spec, tile_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((SUBS, G * LANES), jnp.int32),
+            jax.ShapeDtypeStruct((SUBS, G * LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Wa + 8, LANES), U32),  # aw0 (+ funnel guard rows)
-            pltpu.VMEM((Wa + 8, LANES), U32),
-            pltpu.VMEM((Wa + 8, LANES), U32),
-            pltpu.VMEM((Wa + 8, LANES), U32),
-            pltpu.VMEM((1, LANES), U32),       # Pv
-            pltpu.VMEM((1, LANES), U32),       # Mv
-            pltpu.VMEM((1, LANES), jnp.int32),  # s0
-            pltpu.VMEM((1, LANES), U32),       # result P
-            pltpu.VMEM((1, LANES), U32),       # result M
-            pltpu.VMEM((1, LANES), jnp.int32),  # result s0
+            pltpu.VMEM(((Wa + 2) * SUBS, LANES), U32),  # aw0..aw3
+            pltpu.VMEM(((Wa + 2) * SUBS, LANES), U32),
+            pltpu.VMEM(((Wa + 2) * SUBS, LANES), U32),
+            pltpu.VMEM(((Wa + 2) * SUBS, LANES), U32),
+            pltpu.VMEM((SUBS, LANES), U32),       # Pv
+            pltpu.VMEM((SUBS, LANES), U32),       # Mv
+            pltpu.VMEM((SUBS, LANES), jnp.int32),  # s0
+            pltpu.VMEM((SUBS, LANES), U32),       # result P
+            pltpu.VMEM((SUBS, LANES), U32),       # result M
+            pltpu.VMEM((SUBS, LANES), jnp.int32),  # result s0
         ],
         interpret=interpret,
-    )(q.T.astype(jnp.int32), tp.T,
-      q_len.reshape(1, B).astype(jnp.int32),
-      tl32.reshape(1, B), offc.reshape(1, B), shift.reshape(1, B))
-    return cost[0], tend[0]
+    )(_to_tiles(q.astype(jnp.int32), G), _to_tiles(tp, G),
+      _scalar_tiles(q_len.astype(jnp.int32), G),
+      _scalar_tiles(tl32, G), _scalar_tiles(offc, G),
+      _scalar_tiles(shift, G))
+    return _from_tiles(cost, B)[:B0], _from_tiles(tend, B)[:B0]
