@@ -175,7 +175,7 @@ def _refine_end(oriented: np.ndarray, genome: np.ndarray, ref_end: int,
     q, t = oriented[-F:], genome[a:b]
     if len(t) < F // 2:
         return None
-    cost, tend = banded.banded_align(
+    cost, tend = banded.banded_align_auto(
         jnp.asarray(q[None, :]), jnp.asarray([len(q)], jnp.int32),
         jnp.asarray(t[None, :]), jnp.asarray([len(t)], jnp.int32),
         jnp.asarray([ref_end - F - a], jnp.int32), band=cfg.band)
@@ -201,7 +201,7 @@ def _refine_end_seq(q: np.ndarray, t: np.ndarray, off: int,
                     cfg: AssistConfig) -> Optional[int]:
     if len(t) < len(q) // 2 or len(q) == 0:
         return None
-    cost, tend = banded.banded_align(
+    cost, tend = banded.banded_align_auto(
         jnp.asarray(q[None, :]), jnp.asarray([len(q)], jnp.int32),
         jnp.asarray(t[None, :]), jnp.asarray([len(t)], jnp.int32),
         jnp.asarray([off], jnp.int32), band=cfg.band)

@@ -45,18 +45,27 @@ class LocalizeConfig:
 
 
 def edge_support(g: UniGraph, rp: ReadPaths) -> np.ndarray:
-    """# reads crossing each adjacency edge (rc-canonicalized)."""
+    """# reads crossing each adjacency edge (rc-canonicalized).
+
+    Vectorized: sorted searchsorted join of the graph's canonical edge keys
+    against the observed transition table (no per-edge Python)."""
     from allpathslg_tpu.graph import pathsdb as pdb
     edges, counts = pdb.transitions(rp)
-    emap: Dict[int, int] = {}
-    key = pack_edges(edges[:, 0], edges[:, 1].astype(bool),
-                     edges[:, 2], edges[:, 3].astype(bool))
-    for k, c in zip(key, counts):
-        emap[int(k)] = int(c)
+    tkey = pack_edges(edges[:, 0], edges[:, 1].astype(bool),
+                      edges[:, 2], edges[:, 3].astype(bool))
+    order = np.argsort(tkey)
+    tkey = tkey[order]
+    tcnt = counts[order]
     kf = pack_edges(g.a, g.fa, g.b, g.fb)
     kr = pack_edges(g.b, ~g.fb, g.a, ~g.fa)
     kc = np.minimum(kf, kr)
-    return np.array([emap.get(int(k), 0) for k in kc], np.int32)
+    pos = np.searchsorted(tkey, kc)
+    hit = (pos < len(tkey))
+    safe = np.minimum(pos, max(len(tkey) - 1, 0))
+    hit &= (tkey[safe] == kc) if len(tkey) else False
+    out = np.zeros(len(kc), np.int32)
+    out[hit] = tcnt[safe[hit]]
+    return out
 
 
 def filter_unsupported_edges(g: UniGraph, support: np.ndarray,
@@ -103,14 +112,23 @@ def _thread_counts(rp: ReadPaths):
     contig = (rp.leave[i] + 1 == rp.enter[i + 1]) & \
              (rp.leave[i + 1] + 1 == rp.enter[i + 2])
     idx = i[same & contig]
-    for j in idx:
-        a, fa = int(rp.uid[j]), not bool(rp.fwd[j])
-        m, fm = int(rp.uid[j + 1]), not bool(rp.fwd[j + 1])
-        b, fb = int(rp.uid[j + 2]), not bool(rp.fwd[j + 2])
-        if fm:  # normalize mid to forward: rc the whole triple
-            a, fa, b, fb = b, not fb, a, not fa
-            fm = False
-        votes[(m, a, fa, b, fb)] += 1
+    if len(idx) == 0:
+        return votes
+    # vectorized normalization (mid forced forward by rc'ing the triple)
+    a, fa = rp.uid[idx], ~rp.fwd[idx]
+    m, fm = rp.uid[idx + 1], ~rp.fwd[idx + 1]
+    b, fb = rp.uid[idx + 2], ~rp.fwd[idx + 2]
+    na = np.where(fm, b, a)
+    nfa = np.where(fm, ~fb, fa)
+    nb = np.where(fm, a, b)
+    nfb = np.where(fm, ~fa, fb)
+    rows = np.stack([m.astype(np.int64), na.astype(np.int64),
+                     nfa.astype(np.int64), nb.astype(np.int64),
+                     nfb.astype(np.int64)], axis=1)
+    uniq, counts = np.unique(rows, axis=0, return_counts=True)
+    for row, c in zip(uniq, counts):
+        votes[(int(row[0]), int(row[1]), bool(row[2]),
+               int(row[3]), bool(row[4]))] = int(c)
     return votes
 
 
@@ -147,6 +165,15 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                     for a, fa, b, fb in zip(g.a, g.fa, g.b, g.fb)})
     for e in edges:
         add_edge(*e)
+
+    # removal index over the ORIGINAL edge list (appended split edges are
+    # never removal candidates in the same round — split_touched guards
+    # them): oriented endpoint -> edge indices
+    by_src: Dict[Tuple[int, bool], List[int]] = defaultdict(list)
+    by_dst: Dict[Tuple[int, bool], List[int]] = defaultdict(list)
+    for i, (a, fa, b, fb) in enumerate(edges):
+        by_src[(a, fa)].append(i)
+        by_dst[(b, fb)].append(i)
 
     n = ups.n
     seqs = [ups.bases[ups.offsets[i]:ups.offsets[i + 1]] for i in range(n)]
@@ -190,18 +217,19 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                 mcov.append(mcov[m] / max(len(pairs), 1))
             new_edges.append((a, fa, cid, False))
             new_edges.append((cid, False, b, fb))
-        # drop old edges touching m (either orientation form)
-        for i, (a, fa, b, fb) in enumerate(new_edges):
-            if i in removed:
-                continue
-            if (b, fb) == mfwd and (a, fa) in m_ins:
+        # drop old edges touching m (either orientation form) — indexed
+        for i in by_dst.get(mfwd, ()):
+            if (edges[i][0], edges[i][1]) in m_ins:
                 removed.add(i)
-            elif (a, fa) == mfwd and (b, fb) in m_outs:
+        for i in by_src.get(mfwd, ()):
+            if (edges[i][2], edges[i][3]) in m_outs:
                 removed.add(i)
-            # rc-mirrored forms: (x)->(m,True) mirrors (m,False)->(x^rc)
-            elif (a, fa) == (m, True) and (b, not fb) in m_ins:
+        # rc-mirrored forms: (x)->(m,True) mirrors (m,False)->(x^rc)
+        for i in by_src.get((m, True), ()):
+            if (edges[i][2], not edges[i][3]) in m_ins:
                 removed.add(i)
-            elif (b, fb) == (m, True) and (a, not fa) in m_outs:
+        for i in by_dst.get((m, True), ()):
+            if (edges[i][0], not edges[i][1]) in m_outs:
                 removed.add(i)
         split_touched.add(m)
         for (a, fa, b, fb) in pairs:

@@ -140,7 +140,7 @@ def consensus_patch(segs: List[np.ndarray], cfg: LongReadConfig
             t[k, : len(keep[j])] = keep[j]
             ql[k], tl[k] = len(keep[i]), len(keep[j])
             k += 1
-    cost, _ = banded.banded_align(jnp.asarray(q), jnp.asarray(ql),
+    cost, _ = banded.banded_align_auto(jnp.asarray(q), jnp.asarray(ql),
                                   jnp.asarray(t), jnp.asarray(tl),
                                   jnp.asarray(off), band=band)
     c = np.asarray(cost)[: n * n].reshape(n, n).astype(np.float64)

@@ -60,8 +60,9 @@ def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
 
     flat_pos = gpos[valid]
     flat_base = base[valid]
-    votes = np.zeros((total, 4), np.int32)
-    np.add.at(votes, (flat_pos, flat_base), 1)
+    # bincount on (pos*4 + base) is ~20x faster than np.add.at scatter
+    votes = np.bincount(flat_pos * 4 + flat_base,
+                        minlength=total * 4).reshape(total, 4).astype(np.int32)
 
     support = votes.sum(1)
     winner = votes.argmax(1)

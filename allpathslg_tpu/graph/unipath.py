@@ -282,25 +282,23 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
     # (c,1) trails with head^1
     trail_nodes = np.concatenate([tails, heads ^ 1])
     tvals = [jnp.asarray(np.asarray(v)[trail_nodes]) for v in vals]
-    ea, efa, eb, efb = [], [], [], []
+    ea_parts, efa_parts, eb_parts, efb_parts = [], [], [], []
+    src_ids = np.arange(2 * n_chains, dtype=np.int32) % n_chains
+    src_flips = np.arange(2 * n_chains) >= n_chains
     for bb in range(4):
         s = bits.shift_append(tvals, jnp.uint32(bb), K)
         canon, is_rc = bits.canonical(s, K)
         idx, found = join.searchsorted_words([jnp.asarray(np.asarray(w)) for w in tw], canon)
         node = (np.asarray(idx) * 2 + np.asarray(is_rc).astype(np.int32))
         fnd = np.asarray(found)
-        for i in np.nonzero(fnd)[0]:
-            tc = lead_chain[node[i]]
-            if tc < 0:
-                continue
-            src = i % n_chains
-            src_f = i >= n_chains
-            ea.append(src)
-            efa.append(bool(src_f))
-            eb.append(int(tc))
-            efb.append(bool(lead_orient[node[i]]))
-    graph = UniGraph(np.asarray(ea, np.int32), np.asarray(efa, bool),
-                     np.asarray(eb, np.int32), np.asarray(efb, bool))
+        tc = np.where(fnd, lead_chain[np.where(fnd, node, 0)], -1)
+        m = tc >= 0
+        ea_parts.append(src_ids[m])
+        efa_parts.append(src_flips[m])
+        eb_parts.append(tc[m].astype(np.int32))
+        efb_parts.append(lead_orient[node[m]])
+    graph = UniGraph(np.concatenate(ea_parts), np.concatenate(efa_parts),
+                     np.concatenate(eb_parts), np.concatenate(efb_parts))
     return (ups, graph, placement) if with_placement else (ups, graph)
 
 

@@ -76,15 +76,25 @@ def count_sorted(flat_words) -> Tuple[list, jnp.ndarray, jnp.ndarray]:
     return skeys, counts, starts
 
 
+@functools.partial(jax.jit, static_argnames=("max_freq",))
 def spectrum_from_counts(counts: jnp.ndarray, max_freq: int = 255) -> jnp.ndarray:
     """Histogram of run counts: spec[f] = # distinct kmers with count f.
 
     Comparison-reduce histogram, not scatter-add: XLA TPU lowers scatter to
-    a serialized update loop (~13x slower measured); the broadcast-compare
-    reduce fuses into one bandwidth-bound pass with max_freq accumulators."""
+    a serialized update loop (~13x slower measured). The bin axis is scanned
+    in chunks of 32 so the intermediate stays [M, 32] even when a caller is
+    not under jit (an eager [M, 256] compare OOMed at ~50M rows)."""
     c = jnp.clip(counts, 0, max_freq)
-    bins = jnp.arange(1, max_freq + 1, dtype=c.dtype)
-    spec = jnp.sum((c[:, None] == bins[None, :]).astype(jnp.int32), axis=0)
+    CH = 32
+    nch = (max_freq + CH - 1) // CH
+
+    def chunk(i, acc):
+        bins = 1 + i * CH + jnp.arange(CH, dtype=c.dtype)
+        part = jnp.sum((c[:, None] == bins[None, :]).astype(jnp.int32), axis=0)
+        return acc.at[i].set(part)
+
+    acc = lax.fori_loop(0, nch, chunk, jnp.zeros((nch, CH), jnp.int32))
+    spec = acc.reshape(-1)[:max_freq]
     return jnp.concatenate([jnp.zeros(1, jnp.int32), spec])
 
 
@@ -196,15 +206,30 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
                       np.asarray(t.counts),
                       None if t.qsum is None else np.asarray(t.qsum)))
     W = parts[0][0].shape[0]
-    words = [jnp.asarray(np.concatenate([p[0][w] for p in parts]))
-             for w in range(W)]
-    counts = jnp.asarray(np.concatenate([p[1] for p in parts]))
+    words_np = [np.concatenate([p[0][w] for p in parts]) for w in range(W)]
+    counts_np = np.concatenate([p[1] for p in parts])
     have_q = parts[0][2] is not None
-    qsum = jnp.asarray(np.concatenate([p[2] for p in parts])) if have_q else None
+    qsum_np = np.concatenate([p[2] for p in parts]) if have_q else None
     if len(parts) == 1:
-        return CountedKmers(words=words, counts=counts, qsum=qsum,
-                            n_unique=jnp.asarray(counts.shape[0], jnp.int32))
-    return recount_table(words, counts, qsum)
+        return CountedKmers(words=[jnp.asarray(w) for w in words_np],
+                            counts=jnp.asarray(counts_np),
+                            qsum=None if qsum_np is None else jnp.asarray(qsum_np),
+                            n_unique=jnp.asarray(counts_np.shape[0], jnp.int32))
+    # quantize the merged-table size so recount_table compiles once per
+    # bucket, not once per read-set (sentinel rows sort last, count 0)
+    T = counts_np.shape[0]
+    bucket = 1 << 20
+    Tq = ((T + bucket - 1) // bucket) * bucket
+    if Tq != T:
+        pad = Tq - T
+        words_np = [np.concatenate([w, np.full(pad, 0xFFFFFFFF, np.uint32)])
+                    for w in words_np]
+        counts_np = np.concatenate([counts_np, np.zeros(pad, counts_np.dtype)])
+        if qsum_np is not None:
+            qsum_np = np.concatenate([qsum_np, np.zeros(pad, qsum_np.dtype)])
+    return recount_table([jnp.asarray(w) for w in words_np],
+                         jnp.asarray(counts_np),
+                         None if qsum_np is None else jnp.asarray(qsum_np))
 
 
 def trim_to_host(ck: CountedKmers) -> CountedKmers:

@@ -96,6 +96,35 @@ def banded_align(q: jnp.ndarray, q_len: jnp.ndarray,
     return cost, t_end
 
 
+def _on_tpu() -> bool:
+    d = jax.devices()[0]
+    return d.platform in ("tpu", "axon") or "tpu" in d.device_kind.lower()
+
+
+def banded_align_auto(q, q_len, t, t_len, offset, band: int = 16,
+                      sub_cost: int = 1, gap_cost: int = 1):
+    """Product-path dispatcher: the Pallas VMEM kernel on TPU (batch padded
+    to a 128-lane multiple), the jnp reference elsewhere. Same semantics
+    (ref: SmithWatBandedA as THE shared inner loop of patching/consensus)."""
+    B = int(q.shape[0])
+    if not _on_tpu():
+        return banded_align(q, q_len, t, t_len, offset, band=band,
+                            sub_cost=sub_cost, gap_cost=gap_cost)
+    from allpathslg_tpu.ops.pallas import banded_pallas
+    Bp = ((B + 127) // 128) * 128
+    if Bp != B:
+        pad = Bp - B
+        q = jnp.pad(jnp.asarray(q), ((0, pad), (0, 0)), constant_values=4)
+        t = jnp.pad(jnp.asarray(t), ((0, pad), (0, 0)), constant_values=4)
+        q_len = jnp.pad(jnp.asarray(q_len), (0, pad))
+        t_len = jnp.pad(jnp.asarray(t_len), (0, pad))
+        offset = jnp.pad(jnp.asarray(offset), (0, pad))
+    cost, tend = banded_pallas.banded_align_pallas(
+        q, q_len, t, t_len, offset, band=band,
+        sub_cost=sub_cost, gap_cost=gap_cost)
+    return cost[:B], tend[:B]
+
+
 def np_banded_oracle(q, t, offset, band, sub_cost=1, gap_cost=1):
     """Unbanded-with-mask python oracle for tests (same semantics)."""
     Lq, Lt = len(q), len(t)

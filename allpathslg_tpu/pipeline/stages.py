@@ -128,21 +128,23 @@ class Pipeline:
             frac_t = (codes == 3).sum(axis=1) / np.maximum(lengths, 1)
             ok &= (frac_a < 0.9) & (frac_t < 0.9)
             if pairs is not None and len(pairs):
-                # duplicate pairs: identical (r1,r2) byte content
-                h1 = np.array([hash(codes[i].tobytes()) for i in pairs[:, 0]])
-                h2 = np.array([hash(codes[i].tobytes()) for i in pairs[:, 1]])
-                _, first_idx = np.unique(np.stack([h1, h2], 1), axis=0,
+                # duplicate pairs: identical (r1,r2) base content, exact —
+                # vectorized lexicographic dedup of the concatenated code
+                # rows (no hashing: a collision would silently drop a real
+                # pair and salted hashes differ across processes)
+                pair_bytes = np.ascontiguousarray(
+                    np.concatenate([codes[pairs[:, 0]], codes[pairs[:, 1]]],
+                                   axis=1))
+                _, first_idx = np.unique(pair_bytes, axis=0,
                                          return_index=True)
                 dup = np.ones(len(pairs), bool)
                 dup[first_idx] = False
-                for p in np.nonzero(dup)[0]:
-                    ok[pairs[p, 0]] = False
-                    ok[pairs[p, 1]] = False
+                ok[pairs[dup, 0]] = False
+                ok[pairs[dup, 1]] = False
                 # a pair survives only whole
-                pair_ok = ok[pairs[:, 0]] & ok[pairs[:, 1]]
-                for p in np.nonzero(~pair_ok)[0]:
-                    ok[pairs[p, 0]] = False
-                    ok[pairs[p, 1]] = False
+                pair_bad = ~(ok[pairs[:, 0]] & ok[pairs[:, 1]])
+                ok[pairs[pair_bad, 0]] = False
+                ok[pairs[pair_bad, 1]] = False
             lengths = np.where(ok, lengths, 0).astype(np.int32)
             out = {"codes": codes, "lengths": lengths}
             if quals is not None:
@@ -282,6 +284,17 @@ class Pipeline:
             m_quals = m_quals[:n_real_p]
             m_len = m_len[:n_real_p]
             m_ok = m_ok[:n_real_p]
+            # SamplePairedReadStats analog for the fragment library: estimate
+            # the empirical insert distribution from confident fills, persist
+            # the .distribs artifact, and reject fills whose insert size is
+            # implausible under it (ref: FillFragments' distribution check)
+            if int(m_ok.sum()) >= 200:
+                from allpathslg_tpu.utils.intdist import IntDistribution
+                dist = IntDistribution.from_samples(m_len[m_ok])
+                rd.save_arrays("frag_distribs", **dist.to_arrays())
+                lp = dist.logpmf(m_len)
+                implausible = m_ok & (lp < np.log(1e-5 / max(len(dist.pmf), 1)))
+                m_ok = m_ok & ~implausible
             # output: filled rows + passthrough originals for failed pairs
             bad = ~m_ok
             pass_idx = np.concatenate([pairs[bad, 0], pairs[bad, 1]])
@@ -448,11 +461,16 @@ class Pipeline:
                     index, codes[s:e], lens[s:e], acfg, u["bases"])
                 C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
             # estimate the true insert distribution from same-contig pairs
-            # (ref: SamplePairedReadStats → IntDistribution per library)
+            # (ref: SamplePairedReadStats → IntDistribution per library);
+            # persist the .distribs-equivalent artifact for RemodelGaps' MLE
             from allpathslg_tpu.eval import accuracy as eacc
+            from allpathslg_tpu.utils.intdist import IntDistribution
             imean, isd, hist = eacc.estimate_insert_stats(
                 C[:n_real], D[:n_real], O[:n_real], OK[:n_real],
                 j["lengths"], j["pairs"])
+            if len(hist):
+                dist = IntDistribution.from_histogram(hist)
+                rd.save_arrays("jump_distribs", **dist.to_arrays())
             rd.save_arrays("jump_alignlets", contig=C[:n_real],
                            anchor=D[:n_real], is_rc=O[:n_real],
                            mismatches=MM[:n_real], aligned=OK[:n_real],
@@ -574,7 +592,14 @@ class Pipeline:
                                        al["aligned"], j["lengths"], j["pairs"],
                                        clens, insert, insert_sd)
                 scaffolds = scaffolder.make_scaffolds(lg, len(clens))
-                scaffolds = scaffolder.remodel_gaps(scaffolds, lg)
+                # RemodelGaps: MLE against the empirical insert distribution
+                # when the .distribs artifact exists (ref: RemodelGaps.cc)
+                dist = None
+                if rd.has("jump_distribs"):
+                    from allpathslg_tpu.utils.intdist import IntDistribution
+                    dist = IntDistribution.from_arrays(
+                        rd.load_arrays("jump_distribs"))
+                scaffolds = scaffolder.remodel_gaps(scaffolds, lg, dist)
                 # circularity tags (ref: TagCircularScaffolds)
                 from allpathslg_tpu.scaffold import circular as scirc
                 wraps = slinks.wrap_pair_counts(

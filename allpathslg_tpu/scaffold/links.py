@@ -68,7 +68,11 @@ def wrap_pair_counts(contig, anchor, is_rc, aligned, read_lens,
 @dataclasses.dataclass
 class LinkGraph:
     """Aggregated oriented links (host arrays). Edge meaning: contig a
-    (reverse-complemented iff oa) is followed by contig b (rc iff ob)."""
+    (reverse-complemented iff oa) is followed by contig b (rc iff ob).
+
+    span_off/span_val (optional) keep the raw per-pair within-contig spans
+    d_i per edge (CSR), so RemodelGaps can run the IntDistribution MLE
+    (insert_i = d_i + gap; ref: src/paths/RemodelGaps.cc)."""
     a: np.ndarray          # int32 [E]
     b: np.ndarray          # int32 [E]
     oa: np.ndarray         # bool  [E]
@@ -76,10 +80,17 @@ class LinkGraph:
     n_pairs: np.ndarray    # int32 [E]
     gap_mean: np.ndarray   # float [E]
     gap_sd: np.ndarray     # float [E]
+    span_off: np.ndarray = None   # int64 [E+1] CSR offsets (optional)
+    span_val: np.ndarray = None   # int64 [T] within-contig spans (optional)
 
     @property
     def n_edges(self) -> int:
         return len(self.a)
+
+    def spans(self, ei: int) -> np.ndarray:
+        if self.span_off is None:
+            return np.zeros(0, np.int64)
+        return self.span_val[self.span_off[ei]:self.span_off[ei + 1]]
 
 
 def pair_links(contig, anchor, is_rc, aligned, read_lens,
@@ -106,11 +117,13 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
     ob = ~o2
     s1p = np.where(o1, La - 1 - a1, a1)
     t2 = np.where(o2, a2, Lb - 1 - a2)
-    gap = insert - (La - s1p) - t2 - 1
+    span = (La - s1p) + t2 + 1   # within-contig part of the insert
+    gap = insert - span
 
     # drop absurd implied gaps (mates far inside huge contigs w/ wrong orient)
     sane = (gap > -insert) & (gap < 2 * insert)
     A, B, oa, ob, gap = A[sane], B[sane], oa[sane], ob[sane], gap[sane]
+    span = span[sane]
 
     # canonicalize: smaller contig id first (reverse edge = flip both flags
     # and swap)
@@ -125,11 +138,12 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
     order = np.argsort(key, kind="stable")
     key_s = key[order]
     gap_s = gap[order].astype(np.float64)
+    span_s = span[order].astype(np.int64)
     if len(key_s) == 0:
         z = np.zeros(0)
         return LinkGraph(z.astype(np.int32), z.astype(np.int32),
                          z.astype(bool), z.astype(bool), z.astype(np.int32),
-                         z, z)
+                         z, z, np.zeros(1, np.int64), np.zeros(0, np.int64))
     starts = np.ones(len(key_s), bool)
     starts[1:] = key_s[1:] != key_s[:-1]
     seg = np.cumsum(starts) - 1
@@ -143,6 +157,8 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
                   float(insert_sd))
 
     ks = key_s[starts]
+    span_off = np.zeros(n_seg + 1, np.int64)
+    np.cumsum(cnt, out=span_off[1:])
     return LinkGraph(
         a=(ks >> 34).astype(np.int32),
         b=((ks >> 2) & ((1 << 32) - 1)).astype(np.int32),
@@ -151,4 +167,6 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
         n_pairs=cnt.astype(np.int32),
         gap_mean=mean,
         gap_sd=sd / np.sqrt(np.maximum(cnt, 1)),
+        span_off=span_off,
+        span_val=span_s,
     )

@@ -133,9 +133,13 @@ def make_scaffolds(lg: LinkGraph, n_contigs: int,
     return scaffolds
 
 
-def remodel_gaps(scaffolds: List[Superb], lg: LinkGraph) -> List[Superb]:
-    """Re-estimate junction gaps by inverse-variance-weighted combination of
-    all link edges joining the two oriented contigs (ref: RemodelGaps)."""
+def remodel_gaps(scaffolds: List[Superb], lg: LinkGraph,
+                 dist=None) -> List[Superb]:
+    """Re-estimate junction gaps from their spanning pairs (ref:
+    src/paths/RemodelGaps.cc). With an empirical per-library insert
+    IntDistribution, each junction's gap is the maximum-likelihood value of
+    sum_i log pmf(d_i + g) over its raw spans; without one (or without raw
+    spans) it falls back to the inverse-variance mean."""
     # index edges by canonical (a, b, oa, ob)
     emap = {}
     for i in range(lg.n_edges):
@@ -153,6 +157,20 @@ def remodel_gaps(scaffolds: List[Superb], lg: LinkGraph) -> List[Superb]:
             i = emap.get(key)
             if i is None:
                 continue
-            sb.gaps[j] = int(round(float(lg.gap_mean[i])))
-            sb.gap_devs[j] = max(1, int(round(float(lg.gap_sd[i]))))
+            g = float(lg.gap_mean[i])
+            sem = float(lg.gap_sd[i])
+            n = int(lg.n_pairs[i])
+            spans = lg.spans(i)
+            if dist is not None and len(spans) >= 2:
+                sample_sd = max(sem * np.sqrt(max(n, 1)), 1.0)
+                lo = int(g - 4 * sample_sd - 20)
+                hi = int(g + 4 * sample_sd + 20)
+                g_mle, ll = dist.mle_gap(spans, lo, hi)
+                if np.isfinite(ll):
+                    g = float(g_mle)
+                    # Fisher-information-style dev: the MLE's curvature is
+                    # unavailable cheaply; keep the SEM, floored
+                    sem = max(sem, 1.0)
+            sb.gaps[j] = int(round(g))
+            sb.gap_devs[j] = max(1, int(round(sem)))
     return scaffolds

@@ -59,15 +59,45 @@ class IntDistribution:
         p[ok] = np.maximum(self.pmf[x[ok]], 1e-12)
         return np.log(p)
 
-    def mle_gap(self, spans: np.ndarray, gap_lo: int, gap_hi: int
-                ) -> Tuple[int, float]:
+    def mle_gap(self, spans: np.ndarray, gap_lo: int, gap_hi: int,
+                max_samples: int = 512) -> Tuple[int, float]:
         """RemodelGaps MLE: observed spanning-pair within-contig spans d_i
         imply insert = d_i + gap; choose the gap maximizing
-        sum_i log pmf(d_i + g) (ref: src/paths/RemodelGaps.cc)."""
+        sum_i log pmf(d_i + g) (ref: src/paths/RemodelGaps.cc).
+        Vectorized over the candidate-gap grid."""
         spans = np.asarray(spans).astype(np.int64)
-        best_g, best_ll = gap_lo, -np.inf
-        for g in range(gap_lo, gap_hi + 1):
-            ll = self.logpmf(spans + g).sum()
-            if ll > best_ll:
-                best_ll, best_g = ll, g
-        return int(best_g), float(best_ll)
+        if len(spans) > max_samples:
+            spans = spans[np.linspace(0, len(spans) - 1,
+                                      max_samples).astype(np.int64)]
+        if len(spans) == 0 or gap_hi < gap_lo:
+            return int(gap_lo), float("-inf")
+        gs = np.arange(gap_lo, gap_hi + 1, dtype=np.int64)
+        ll = self.logpmf(spans[None, :] + gs[:, None]).sum(axis=1)
+        i = int(np.argmax(ll))
+        return int(gs[i]), float(ll[i])
+
+    @staticmethod
+    def from_histogram(hist: np.ndarray, smooth: float = 0.5
+                       ) -> "IntDistribution":
+        """Build from a bincount histogram (index = value)."""
+        counts = np.asarray(hist, np.float64)
+        if counts.sum() <= 0:
+            return IntDistribution(0, np.ones(1))
+        nz = np.nonzero(counts)[0]
+        lo, hi = int(nz[0]), int(nz[-1])
+        counts = counts[lo : hi + 1]
+        if smooth > 0:
+            k = np.ones(3) / 3
+            for _ in range(2):
+                counts = np.convolve(counts, k, mode="same")
+            counts += smooth * counts.sum() / (100.0 * len(counts))
+        return IntDistribution(lo, counts / counts.sum())
+
+    def to_arrays(self) -> dict:
+        """Serializable form (the .distribs artifact, ref:
+        SamplePairedReadDistributions output)."""
+        return {"lo": np.asarray(self.lo, np.int64), "pmf": self.pmf}
+
+    @staticmethod
+    def from_arrays(d) -> "IntDistribution":
+        return IntDistribution(int(d["lo"]), np.asarray(d["pmf"], np.float64))
