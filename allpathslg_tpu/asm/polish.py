@@ -1,17 +1,24 @@
-"""Consensus polish: re-align reads, fix miscalled bases.
+"""Consensus polish: re-align reads, fix miscalled bases AND small indels.
 
 Behavior contract (ref: src/paths/FixSomeIndels.cc / FixLocal — SURVEY.md
 §2.5 row 19): align reads back to the assembly, pile up per-column votes,
 and repair positions where the read consensus contradicts the contig.
-Substitution polish here; indel repair rides the banded-DP realign pass
-(later round). Vote accumulation is a device segment-sum over flat contig
-coordinates — one scatter-add per base code.
+
+Substitution pass: per-column majority vote (vectorized bincount).
+Indel pass: columns where the pileup DISAGREES without a clean winner are
+the signature of a 1–2 bp indel (gap-free alignments shift downstream of
+it, scattering the votes). For each suspect column a set of candidate
+variants (1–2 bp deletion, 1–2 bp insertion of every base combo) is scored
+by banded-DP realignment of the covering reads against the variant window —
+all (suspect × variant × read) problems in ONE batched device dispatch —
+and the minimum-total-cost variant is applied when it beats the original
+by a margin.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax
@@ -22,6 +29,12 @@ import jax.numpy as jnp
 class PolishConfig:
     min_support: int = 4        # reads covering the column
     min_frac: float = 0.8       # winning base fraction to overturn
+    # indel pass
+    indel_window: int = 14      # half-window around a suspect column
+    indel_band: int = 6
+    max_suspects: int = 512     # per polish call
+    max_reads_per_suspect: int = 12
+    indel_margin: int = 2       # best variant must beat original by this
 
 
 def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
@@ -74,3 +87,245 @@ def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
     out = flat_bases.copy()
     out[change] = winner[change].astype(np.uint8)
     return out, int(change.sum())
+
+
+def _indel_variants(t0: np.ndarray, xs: np.ndarray) -> List[Tuple]:
+    """Candidate windows: the original plus, at every candidate column x
+    (window-relative), 1–2 bp deletions and single-base insertions; 2 bp
+    insertions are refined in a second round at the winning column.
+    Returns [(window, edit)] where edit = None | (x, kind, bases)."""
+    variants = [(t0, None)]
+    for x in xs:
+        x = int(x)
+        if x < 1 or x + 2 >= len(t0):
+            continue
+        variants.append((np.concatenate([t0[:x], t0[x + 1:]]),
+                         (x, "del", 1)))
+        variants.append((np.concatenate([t0[:x], t0[x + 2:]]),
+                         (x, "del", 2)))
+        for b in range(4):
+            variants.append((np.concatenate(
+                [t0[:x], np.asarray([b], np.uint8), t0[x:]]),
+                (x, "ins", np.asarray([b], np.uint8))))
+    return variants
+
+
+def _ins2_variants(t0: np.ndarray, x: int) -> List[Tuple]:
+    out = []
+    for b1 in range(4):
+        for b2 in range(4):
+            out.append((np.concatenate(
+                [t0[:x], np.asarray([b1, b2], np.uint8), t0[x:]]),
+                (x, "ins", np.asarray([b1, b2], np.uint8))))
+    return out
+
+
+def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
+                  codes: np.ndarray, lengths: np.ndarray,
+                  al_contig, al_anchor, al_rc, al_ok,
+                  cfg: PolishConfig = PolishConfig()
+                  ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Indel repair pass (ref: FixSomeIndels). Returns (new flat bases,
+    new offsets, n_indels_fixed)."""
+    from allpathslg_tpu.asm.patch import _AlignIndex, _rc as _rcseq
+    from allpathslg_tpu.ops import banded
+
+    total = int(offsets[-1])
+    n_contigs = len(offsets) - 1
+    if total == 0:
+        return flat_bases, offsets, 0
+    gstart = np.asarray(offsets[:-1], np.int64)
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+
+    # --- suspect columns: contested pileup (no clean winner) ---
+    al_contig = np.asarray(al_contig)
+    al_anchor = np.asarray(al_anchor)
+    al_rc = np.asarray(al_rc)
+    ok = np.asarray(al_ok)
+    idx = np.nonzero(ok)[0]
+    if len(idx) == 0:
+        return flat_bases, offsets, 0
+    L = codes.shape[1]
+    j = np.arange(L, dtype=np.int64)[None, :]
+    sel_len = lengths[idx][:, None]
+    anchor = al_anchor[idx].astype(np.int64)[:, None]
+    rc = al_rc[idx][:, None]
+    tpos = np.where(rc, anchor - j, anchor + j)
+    base = codes[idx].astype(np.int64)
+    base = np.where(rc & (base < 4), 3 - base, base)
+    gpos = gstart[al_contig[idx]][:, None] + tpos
+    cend = np.asarray(offsets[1:], np.int64)[al_contig[idx]][:, None]
+    valid = (j < sel_len) & (base < 4) \
+        & (gpos >= gstart[al_contig[idx]][:, None]) & (gpos < cend)
+    votes = np.bincount(gpos[valid] * 4 + base[valid],
+                        minlength=total * 4).reshape(total, 4)
+    support = votes.sum(1)
+    win_n = votes.max(1)
+    contested = (support >= cfg.min_support) & (win_n < cfg.min_frac * support)
+    if not contested.any():
+        return flat_bases, offsets, 0
+    # cluster contested positions (gap <= 8 joins); suspect = cluster center
+    cpos = np.nonzero(contested)[0]
+    brk = np.nonzero(np.diff(cpos) > 8)[0]
+    clusters = np.split(cpos, brk + 1)
+    clusters.sort(key=lambda cl: -support[cl].sum())
+    clusters = clusters[: cfg.max_suspects]
+
+    aidx = _AlignIndex(al_contig, al_anchor, al_rc, al_ok, lengths, n_contigs)
+    w = cfg.indel_window
+
+    def _reads_for(ci, lo_q, hi_q):
+        rr = aidx.reads_on(ci)
+        if len(rr) == 0:
+            return []
+        Lr = aidx.lengths[rr].astype(np.int64)
+        rcs = aidx.rc[rr]
+        anc = aidx.anchor[rr].astype(np.int64)
+        rstart = np.where(rcs, anc - (Lr - 1), anc)
+        rend = rstart + Lr
+        cov = (rstart <= lo_q - 2) & (rend >= hi_q + 2)
+        out = []
+        for r in rr[cov][: cfg.max_reads_per_suspect]:
+            Li = int(aidx.lengths[r])
+            seq = codes[r, :Li]
+            if bool(aidx.rc[r]):
+                seq = _rcseq(seq)
+                rs = int(aidx.anchor[r]) - (Li - 1)
+            else:
+                rs = int(aidx.anchor[r])
+            q = seq[lo_q - rs : hi_q - rs]
+            if len(q) == hi_q - lo_q:
+                out.append(q)
+        return out
+
+    def _batch_costs(probs_q, probs_t, meta):
+        B = len(probs_q)
+        Lq = max(len(q) for q in probs_q)
+        Lt = max(len(t) for t in probs_t)
+        qa = np.full((B, Lq), 4, np.uint8)
+        ta = np.full((B, Lt), 4, np.uint8)
+        ql = np.zeros(B, np.int32)
+        tl = np.zeros(B, np.int32)
+        for i in range(B):
+            qa[i, : len(probs_q[i])] = probs_q[i]
+            ta[i, : len(probs_t[i])] = probs_t[i]
+            ql[i] = len(probs_q[i])
+            tl[i] = len(probs_t[i])
+        cost, _ = banded.banded_align_auto(
+            jnp.asarray(qa), jnp.asarray(ql), jnp.asarray(ta),
+            jnp.asarray(tl), jnp.zeros(B, np.int32), band=cfg.indel_band)
+        cost = np.asarray(cost)
+        tot: dict = {}
+        nrd: dict = {}
+        for (si, vi), c in zip(meta, cost):
+            tot[(si, vi)] = tot.get((si, vi), 0) + int(c)
+            nrd[(si, vi)] = nrd.get((si, vi), 0) + 1
+        return tot, nrd
+
+    # phase 1: per-cluster windows + per-position del1/del2/ins1 variants
+    probs_q, probs_t, meta = [], [], []
+    sus_info = []  # (ci, ws, variants, reads)
+    contig_of = np.searchsorted(offsets,
+                                [int(cl[len(cl) // 2]) for cl in clusters],
+                                side="right") - 1
+    for si, cl in enumerate(clusters):
+        ci = int(contig_of[si])
+        clen = int(offsets[ci + 1] - offsets[ci])
+        center = int(cl[len(cl) // 2] - gstart[ci])
+        ws = center - w
+        we = center + w + 3
+        if ws < 1 or we + 1 >= clen:
+            sus_info.append(None)
+            continue
+        t0 = flat_bases[gstart[ci] + ws : gstart[ci] + we].copy()
+        lo_x = max(int(cl[0] - gstart[ci]) - ws - 2, 1)
+        hi_x = min(int(cl[-1] - gstart[ci]) - ws + 2, len(t0) - 3)
+        xs = np.arange(lo_x, hi_x + 1)
+        variants = _indel_variants(t0, xs)
+        reads = _reads_for(ci, gstart[ci] + ws, gstart[ci] + we)
+        sus_info.append((ci, ws, t0, variants, reads))
+        for q in reads:
+            for vi, (var, _) in enumerate(variants):
+                probs_q.append(q)
+                probs_t.append(var)
+                meta.append((si, vi))
+    if not probs_q:
+        return flat_bases, offsets, 0
+    tot, nreads = _batch_costs(probs_q, probs_t, meta)
+
+    # pick best per suspect; refine a winning ins1 with ins2 candidates
+    edits = []  # (ci, abs_start, kind, arg)
+    probs_q2, probs_t2, meta2 = [], [], []
+    pending2 = {}
+    for si, info in enumerate(sus_info):
+        if info is None or (si, 0) not in tot:
+            continue
+        ci, ws, t0, variants, reads = info
+        c_orig = tot[(si, 0)]
+        best_vi, best_c = 0, c_orig
+        for vi in range(1, len(variants)):
+            c = tot.get((si, vi))
+            if c is not None and c < best_c:
+                best_vi, best_c = vi, c
+        # banded glocal cost of a true indel is ~1 per covering read (one
+        # gap), so the margin is a small absolute floor plus a per-read term
+        need = max(cfg.indel_margin,
+                   int(np.ceil(0.4 * nreads[(si, 0)])))
+        if best_vi == 0 or best_c > c_orig - need:
+            continue
+        _, edit = variants[best_vi]
+        x, kind, arg = edit
+        if kind == "ins" and best_c > 0:
+            # maybe a 2 bp insertion: refine at the winning column
+            for vj, (var, e2) in enumerate(_ins2_variants(t0, x)):
+                for q in reads:
+                    probs_q2.append(q)
+                    probs_t2.append(var)
+                    meta2.append((si, vj))
+            pending2[si] = (ci, ws, x, kind, arg, best_c)
+        else:
+            edits.append((ci, ws, edit))
+    if probs_q2:
+        tot2, _ = _batch_costs(probs_q2, probs_t2, meta2)
+        for si, (ci, ws, x, kind, arg, best_c) in pending2.items():
+            best2, best2_c = None, best_c
+            for vj in range(16):
+                c = tot2.get((si, vj))
+                if c is not None and c < best2_c:
+                    best2 = np.asarray([vj // 4, vj % 4], np.uint8)
+                    best2_c = c
+            edits.append((ci, ws, (x, "ins", best2)) if best2 is not None
+                         else (ci, ws, (x, kind, arg)))
+    elif pending2:
+        for si, (ci, ws, x, kind, arg, best_c) in pending2.items():
+            edits.append((ci, ws, (x, kind, arg)))
+
+    if not edits:
+        return flat_bases, offsets, 0
+    # apply per contig, right-to-left (absolute position = ws + x)
+    contigs = [flat_bases[offsets[i]:offsets[i + 1]].copy()
+               for i in range(n_contigs)]
+    by_c: dict = {}
+    n_applied = 0
+    for (ci, ws, (x, kind, arg)) in edits:
+        a = ws + x
+        if kind == "del":
+            by_c.setdefault(ci, []).append((a, np.zeros(0, np.uint8), int(arg)))
+        else:
+            by_c.setdefault(ci, []).append((a, np.asarray(arg, np.uint8), 0))
+    for ci, es in by_c.items():
+        seq = contigs[ci]
+        # drop overlapping edits (keep leftmost of each overlap cluster)
+        kept, last_end = [], -1
+        for (s, var, olen) in sorted(es, key=lambda e: e[0]):
+            if s > last_end + 2:
+                kept.append((s, var, olen))
+                last_end = s + max(olen, len(var))
+        for (s, var, olen) in reversed(kept):
+            seq = np.concatenate([seq[:s], var, seq[s + olen:]])
+        n_applied += len(kept)
+        contigs[ci] = seq
+    new_off = np.zeros(n_contigs + 1, np.int64)
+    np.cumsum([len(c) for c in contigs], out=new_off[1:])
+    return np.concatenate(contigs), new_off, n_applied

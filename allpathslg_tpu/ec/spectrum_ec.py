@@ -58,6 +58,25 @@ def strong_table(ck: kcount.CountedKmers, cfg: SpectrumECConfig):
     return list(out), jnp.sum(strong.astype(jnp.int32))
 
 
+def compact_strong_table(table, n_strong: int, bucket: int = 1 << 18):
+    """Slice the sorted strong-first table down to a quantized capacity
+    (sentinel rows fill the tail). Keeping the table a small, shape-stable
+    array bounds recompiles of correct_round/clean_reads across EC rounds
+    and kills the full-table re-upload per round (the raw table is the
+    whole counted kmer set; the strong set is ~genome-sized)."""
+    ns = max(int(n_strong), 1)
+    cap = ((ns + bucket - 1) // bucket) * bucket
+    out = []
+    for w in table:
+        if w.shape[0] >= cap:
+            out.append(w[:cap])
+        else:
+            pad = cap - w.shape[0]
+            out.append(jnp.concatenate(
+                [w, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)]))
+    return out
+
+
 def _window_strong(codes, table, K: int):
     """bool [N, P]: window's canonical kmer is in the strong table."""
     canon, valid = kmerize.kmer_windows(codes, K)

@@ -183,12 +183,25 @@ def merge_counted(a: CountedKmers, b: CountedKmers) -> CountedKmers:
 
 def count_reads_streaming(codes: "np.ndarray", K: int,
                           quals: "np.ndarray" = None,
-                          batch_size: int = 65536) -> CountedKmers:
+                          batch_size: int = 65536,
+                          device_budget_bytes: int = 3 << 30) -> CountedKmers:
     """Host driver for large read sets: count per fixed-size batch on device,
-    buffer trimmed per-batch tables on host, re-aggregate in ONE final device
-    pass (the reference's multi-pass parcels, ref: KmerParcelsBuilder, with
-    host RAM as the spill space). Avoids per-batch merge recompiles."""
+    re-aggregate in ONE final device pass (the reference's multi-pass
+    parcels, ref: KmerParcelsBuilder).
+
+    Two regimes: when the whole per-batch table set fits `device_budget_bytes`
+    of HBM, batches stay DEVICE-RESIDENT (no host round-trips, no per-batch
+    sync — the tunnel-latency killer); above the budget, trimmed per-batch
+    tables spill to host RAM (the out-of-core path)."""
     n = codes.shape[0]
+    L = codes.shape[1]
+    W = bits.n_words(K)
+    n_batches = (n + batch_size - 1) // batch_size
+    rows_per_batch = batch_size * max(L - K + 1, 1)
+    n_arrays = W + 1 + (1 if quals is not None else 0)
+    total_bytes = n_batches * rows_per_batch * n_arrays * 4
+    if total_bytes <= device_budget_bytes:
+        return _count_reads_device_resident(codes, K, quals, batch_size)
     parts = []
     for s in range(0, n, batch_size):
         e = min(s + batch_size, n)
@@ -230,6 +243,45 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
     return recount_table([jnp.asarray(w) for w in words_np],
                          jnp.asarray(counts_np),
                          None if qsum_np is None else jnp.asarray(qsum_np))
+
+
+def _count_reads_device_resident(codes, K: int, quals, batch_size: int
+                                 ) -> CountedKmers:
+    """All per-batch padded tables stay in HBM; one concat + recount at the
+    end (quantized size so recount_table compiles once per bucket)."""
+    n = codes.shape[0]
+    L = codes.shape[1]
+    parts = []
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        cb = np.asarray(codes[s:e])
+        qb = None if quals is None else np.asarray(quals[s:e])
+        if e - s < batch_size:
+            pad = batch_size - (e - s)
+            cb = np.concatenate([cb, np.full((pad, L), 4, cb.dtype)])
+            if qb is not None:
+                qb = np.concatenate([qb, np.zeros((pad, L), qb.dtype)])
+        parts.append(count_reads(jnp.asarray(cb), K,
+                                 None if qb is None else jnp.asarray(qb)))
+    if len(parts) == 1:
+        return parts[0]
+    W = len(parts[0].words)
+    have_q = parts[0].qsum is not None
+    T = sum(p.counts.shape[0] for p in parts)
+    bucket = 1 << 20
+    Tq = ((T + bucket - 1) // bucket) * bucket
+    padn = Tq - T
+    words = [jnp.concatenate([p.words[w] for p in parts]
+                             + ([jnp.full(padn, 0xFFFFFFFF, jnp.uint32)]
+                                if padn else []))
+             for w in range(W)]
+    counts = jnp.concatenate([p.counts for p in parts]
+                             + ([jnp.zeros(padn, jnp.int32)] if padn else []))
+    qsum = None
+    if have_q:
+        qsum = jnp.concatenate([p.qsum for p in parts]
+                               + ([jnp.zeros(padn, jnp.int32)] if padn else []))
+    return recount_table(words, counts, qsum)
 
 
 def trim_to_host(ck: CountedKmers) -> CountedKmers:

@@ -196,6 +196,8 @@ class Pipeline:
                 ck_acc = kcount.count_reads_streaming(
                     codes, ecfg.K, quals, batch_size=cfg.batch_reads)
                 table, n_strong = sec.strong_table(ck_acc, ecfg)
+                del ck_acc  # free the raw table's HBM before correction
+                table = sec.compact_strong_table(table, int(n_strong))
                 n_round = 0
                 for s, e in _batched(codes, None, cfg.batch_reads):
                     c, n = sec.correct_round(jnp.asarray(codes[s:e]),
@@ -591,7 +593,8 @@ class Pipeline:
                 lg = slinks.pair_links(al["contig"], al["anchor"], al["is_rc"],
                                        al["aligned"], j["lengths"], j["pairs"],
                                        clens, insert, insert_sd)
-                scaffolds = scaffolder.make_scaffolds(lg, len(clens))
+                scaffolds, n_broken = scaffolder.make_scaffolds_iterative(
+                    lg, len(clens), clens)
                 # RemodelGaps: MLE against the empirical insert distribution
                 # when the .distribs artifact exists (ref: RemodelGaps.cc)
                 dist = None
@@ -617,10 +620,13 @@ class Pipeline:
             import os
             if os.path.exists(rd.file_path("circular_tags.npy")):
                 n_circ = int(np.load(rd.file_path("circular_tags.npy")).sum())
-            return {"n_scaffolds": len(scaffolds),
-                    "scaffold_n50": st["n50"],
-                    "scaffold_total": st["total_bases"],
-                    "n_circular": n_circ}
+            m = {"n_scaffolds": len(scaffolds),
+                 "scaffold_n50": st["n50"],
+                 "scaffold_total": st["total_bases"],
+                 "n_circular": n_circ}
+            if rd.has("jump_alignlets"):
+                m["n_junctions_broken"] = int(n_broken)
+            return m
 
         return self.run_stage("make_scaffolds", ih,
                               ["assembly.superb", "assembly.agp"], fn)
@@ -766,8 +772,23 @@ class Pipeline:
             bases, n_changed = apol.polish_contigs(
                 u["bases"], u["offsets"], fr["codes"], fr["lengths"],
                 m["contig"], m["anchor"], m["is_rc"], m["aligned"])
-            rd.save_arrays("contigs_final", bases=bases, offsets=u["offsets"])
-            return {"n_bases_fixed": int(n_changed)}
+            # indel pass (ref: FixSomeIndels): contested-pileup suspects,
+            # banded-DP variant scoring, re-polish substitutions after
+            bases, offsets, n_indel = apol.polish_indels(
+                bases, u["offsets"], fr["codes"], fr["lengths"],
+                m["contig"], m["anchor"], m["is_rc"], m["aligned"])
+            if n_indel:
+                m2 = self._align_reads_to_contigs_arrays(
+                    bases, offsets, "filled_reads")
+                bases, n_changed2 = apol.polish_contigs(
+                    bases, offsets, fr["codes"], fr["lengths"],
+                    m2["contig"], m2["anchor"], m2["is_rc"], m2["aligned"])
+                n_changed += n_changed2
+            else:
+                offsets = u["offsets"]
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            return {"n_bases_fixed": int(n_changed),
+                    "n_indels_fixed": int(n_indel)}
 
         return self.run_stage("polish", ih, ["contigs_final.npz"], fn)
 

@@ -133,6 +133,195 @@ def make_scaffolds(lg: LinkGraph, n_contigs: int,
     return scaffolds
 
 
+def _filter_links(lg: LinkGraph, banned) -> LinkGraph:
+    if not banned:
+        return lg
+    keep = np.ones(lg.n_edges, bool)
+    keep[list(banned)] = False
+    so, sv = None, None
+    if lg.span_off is not None:
+        lens = np.diff(lg.span_off)[keep]
+        so = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=so[1:])
+        sv = np.concatenate([lg.spans(i) for i in np.nonzero(keep)[0]]) \
+            if keep.any() else np.zeros(0, np.int64)
+    return LinkGraph(lg.a[keep], lg.b[keep], lg.oa[keep], lg.ob[keep],
+                     lg.n_pairs[keep], lg.gap_mean[keep], lg.gap_sd[keep],
+                     so, sv)
+
+
+def _scaffold_positions(sb: Superb, clens: np.ndarray):
+    """Per contig of a scaffold: (start, flip) in scaffold coordinates."""
+    pos = {}
+    at = 0
+    for j, (c, f) in enumerate(zip(sb.contig_ids, sb.rc)):
+        pos[c] = (at, bool(f), j)
+        at += int(clens[c])
+        if j < len(sb.gaps):
+            at += int(sb.gaps[j])
+    return pos
+
+
+def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
+                   clens: np.ndarray, cfg: ScaffoldConfig,
+                   slack: float = 6.0) -> List[Tuple[int, int]]:
+    """Junctions contradicted by the link evidence spanning them (ref: the
+    conflict-breaking iteration of src/paths/MakeScaffolds*.cc).
+
+    Every link whose two contigs land in the same scaffold votes FOR the
+    junctions between them when its orientation+gap agree with the layout,
+    AGAINST when they disagree. Returns [(scaffold_idx, junction_idx)]
+    where against-votes outweigh for-votes."""
+    clens = np.asarray(clens).astype(np.int64)
+    # contig -> scaffold index
+    where = {}
+    for si, sb in enumerate(scaffolds):
+        for c in sb.contig_ids:
+            where[c] = si
+    pos_cache = [_scaffold_positions(sb, clens) for sb in scaffolds]
+    votes: Dict[Tuple[int, int], float] = {}
+    for i in range(lg.n_edges):
+        a, b = int(lg.a[i]), int(lg.b[i])
+        if int(lg.n_pairs[i]) < cfg.min_links:
+            continue
+        sa, sb_ = where.get(a), where.get(b)
+        if sa is None or sa != sb_:
+            continue
+        pc = pos_cache[sa]
+        (pa, fa, ja) = pc[a]
+        (pb, fb, jb) = pc[b]
+        if ja == jb:
+            continue
+        mean = float(lg.gap_mean[i])
+        sem = float(lg.gap_sd[i])
+        n = int(lg.n_pairs[i])
+        tol = slack * max(sem, 1.0) * np.sqrt(max(n, 1)) + 3 * 12 + 50
+        # two readings of the link: a'(oa) then b'(ob), or rc-mirror
+        consistent = False
+        if jb > ja and fa == bool(lg.oa[i]) and fb == bool(lg.ob[i]):
+            pred = pb - (pa + clens[a])
+            consistent = abs(pred - mean) <= tol
+        elif ja > jb and fb == (not bool(lg.ob[i])) and fa == (not bool(lg.oa[i])):
+            pred = pa - (pb + clens[b])
+            consistent = abs(pred - mean) <= tol
+        lo, hi = min(ja, jb), max(ja, jb)
+        w = float(n) * (1.0 if consistent else -1.0)
+        for j in range(lo, hi):
+            votes[(sa, j)] = votes.get((sa, j), 0.0) + w
+
+    # insertion conflicts: an OUTSIDE contig x whose supported links imply
+    # placements inside a scaffold that disagree with each other or need
+    # room a junction's gap cannot provide — evidence a contig is missing
+    # at that junction (the greedy accepted a chimeric longer-range link)
+    placements: Dict[Tuple[int, int], list] = {}
+    for i in range(lg.n_edges):
+        n = int(lg.n_pairs[i])
+        if n < cfg.min_links:
+            continue
+        a, b = int(lg.a[i]), int(lg.b[i])
+        g = float(lg.gap_mean[i])
+        for c, x in ((a, b), (b, a)):
+            si = where.get(c)
+            if si is None or where.get(x) == si:
+                continue
+            p, f, _ = pos_cache[si][c]
+            if c == a:
+                if f == bool(lg.oa[i]):
+                    start = p + clens[a] + g
+                else:
+                    start = p - g - clens[b]
+            else:
+                if f == bool(lg.ob[i]):
+                    start = p - g - clens[a]
+                else:
+                    start = p + clens[b] + g
+            placements.setdefault((si, x), []).append(
+                (float(start), float(n)))
+    # junction coordinate spans per scaffold
+    for (si, x), pls in placements.items():
+        if len(pls) < 1:
+            continue
+        sb = scaffolds[si]
+        pc = pos_cache[si]
+        lx = float(clens[x])
+        tol = 3 * 12 + 100
+        # pairwise disagreement between supported placements
+        for ai in range(len(pls)):
+            for bi in range(ai + 1, len(pls)):
+                (s1, w1), (s2, w2) = pls[ai], pls[bi]
+                if abs(s1 - s2) <= lx * 0.5 + tol:
+                    continue
+                lo_c, hi_c = min(s1, s2), max(s1, s2) + lx
+                w = w1 + w2
+                # vote against every junction inside [lo_c, hi_c]
+                at = 0.0
+                for j in range(len(sb.gaps)):
+                    at += float(clens[sb.contig_ids[j]])
+                    if lo_c - tol < at < hi_c + tol:
+                        votes[(si, j)] = votes.get((si, j), 0.0) - w
+                    at += float(sb.gaps[j])
+    return [k for k, v in votes.items() if v < 0]
+
+
+def _break_junctions(scaffolds: List[Superb],
+                     breaks: List[Tuple[int, int]]) -> List[Superb]:
+    by_s: Dict[int, set] = {}
+    for si, j in breaks:
+        by_s.setdefault(si, set()).add(j)
+    out = []
+    for si, sb in enumerate(scaffolds):
+        cuts = sorted(by_s.get(si, ()))
+        if not cuts:
+            out.append(sb)
+            continue
+        start = 0
+        for j in cuts + [len(sb.gaps)]:
+            ids = sb.contig_ids[start : j + 1]
+            rc = sb.rc[start : j + 1]
+            gaps = sb.gaps[start:j]
+            devs = sb.gap_devs[start:j]
+            if ids:
+                out.append(Superb(list(ids), list(rc), list(gaps), list(devs)))
+            start = j + 1
+    return out
+
+
+def make_scaffolds_iterative(lg: LinkGraph, n_contigs: int,
+                             clens: np.ndarray,
+                             cfg: ScaffoldConfig = ScaffoldConfig(),
+                             rounds: int = 3):
+    """Greedy join + conflict break + retry (ref: MakeScaffolds' iterate-
+    accept/re-derive/break loop). Returns (scaffolds, n_broken_total)."""
+    banned: set = set()
+    n_broken = 0
+    scaffolds = make_scaffolds(lg, n_contigs, cfg)
+    for _ in range(rounds):
+        breaks = find_conflicts(scaffolds, lg, clens, cfg)
+        if not breaks:
+            break
+        n_broken += len(breaks)
+        # ban the links that formed the contradicted junctions so the
+        # rebuild cannot re-accept them
+        emap = {}
+        for i in range(lg.n_edges):
+            emap[(int(lg.a[i]), int(lg.b[i]), bool(lg.oa[i]),
+                  bool(lg.ob[i]))] = i
+        for si, j in breaks:
+            sb = scaffolds[si]
+            c1, f1 = sb.contig_ids[j], sb.rc[j]
+            c2, f2 = sb.contig_ids[j + 1], sb.rc[j + 1]
+            key = (c1, c2, f1, f2) if c1 <= c2 else (c2, c1, not f2, not f1)
+            if key in emap:
+                banned.add(emap[key])
+        scaffolds = make_scaffolds(_filter_links(lg, banned), n_contigs, cfg)
+        # edge ids shifted by filtering; remap by rebuilding each round
+        lg_cur = _filter_links(lg, banned)
+        # conflicts next round are found against the filtered graph
+        lg = lg_cur
+        banned = set()
+    return scaffolds, n_broken
+
+
 def remodel_gaps(scaffolds: List[Superb], lg: LinkGraph,
                  dist=None) -> List[Superb]:
     """Re-estimate junction gaps from their spanning pairs (ref:
