@@ -87,14 +87,12 @@ def spectrum_from_counts(counts: jnp.ndarray, max_freq: int = 255) -> jnp.ndarra
     c = jnp.clip(counts, 0, max_freq)
     CH = 32
     nch = (max_freq + CH - 1) // CH
-
-    def chunk(i, acc):
-        bins = 1 + i * CH + jnp.arange(CH, dtype=c.dtype)
-        part = jnp.sum((c[:, None] == bins[None, :]).astype(jnp.int32), axis=0)
-        return acc.at[i].set(part)
-
-    acc = lax.fori_loop(0, nch, chunk, jnp.zeros((nch, CH), jnp.int32))
-    spec = acc.reshape(-1)[:max_freq]
+    parts = []
+    for i in range(nch):  # static unroll: shard_map-safe (no loop carry)
+        bins = jnp.arange(1 + i * CH, 1 + (i + 1) * CH, dtype=c.dtype)
+        parts.append(jnp.sum((c[:, None] == bins[None, :]).astype(jnp.int32),
+                             axis=0))
+    spec = jnp.concatenate(parts)[:max_freq]
     return jnp.concatenate([jnp.zeros(1, jnp.int32), spec])
 
 

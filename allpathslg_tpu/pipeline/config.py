@@ -34,6 +34,8 @@ class AssemblyConfig:
     min_scaffold_len: int = 0       # submission min length (0 → min_contig)
     assist_ref: str = ""            # related-genome FASTA for assisted
                                     # patching (ref: src/paths/assisted/)
+    stage_workers: int = 2          # concurrent DAG stages (make -j analog;
+                                    # 1 = strictly serial)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

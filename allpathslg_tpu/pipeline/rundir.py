@@ -23,10 +23,12 @@ import numpy as np
 
 class RunDir:
     def __init__(self, path: str):
+        import threading
         self.path = path
         os.makedirs(path, exist_ok=True)
         self.manifest_path = os.path.join(path, "manifest.json")
         self.manifest: Dict = {"stages": {}, "created": time.time()}
+        self._manifest_lock = threading.Lock()
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 self.manifest = json.load(f)
@@ -74,17 +76,20 @@ class RunDir:
 
     def mark_done(self, stage: str, inputs_hash: str, outputs: List[str],
                   metrics: Optional[Dict] = None, elapsed: float = 0.0):
-        self.manifest["stages"][stage] = {
-            "inputs_hash": inputs_hash,
-            "outputs": outputs,
-            "metrics": metrics or {},
-            "elapsed_s": round(elapsed, 3),
-            "finished": time.time(),
-        }
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        # lock: concurrent DAG stages (stage_workers > 1) mark_done from
+        # different threads; the manifest write must be atomic per update
+        with self._manifest_lock:
+            self.manifest["stages"][stage] = {
+                "inputs_hash": inputs_hash,
+                "outputs": outputs,
+                "metrics": metrics or {},
+                "elapsed_s": round(elapsed, 3),
+                "finished": time.time(),
+            }
+            tmp = self.manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.manifest, f, indent=1)
+            os.replace(tmp, self.manifest_path)
 
     def metrics(self, stage: str) -> Dict:
         rec = self.manifest["stages"].get(stage) or {}

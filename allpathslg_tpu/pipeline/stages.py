@@ -1068,27 +1068,81 @@ class Pipeline:
         return self.report()
 
     def run_full(self) -> Dict:
-        """Full pipeline: contigs + jump scaffolding + final assembly."""
-        self.validate_inputs()
-        self.remove_dodgy()
-        self.precorrect()
-        self.find_errors()
-        self.clean_reads()
-        self.fill_fragments()
-        self.unipaths()
-        if self.rd.has("jump_reads_orig"):
-            self.jump_ec()
-            self.align_jumps()
-        self.make_scaffolds()
-        self.align_frags()
-        self.patch_gaps()
+        """Full pipeline: contigs + jump scaffolding + final assembly.
+
+        Independent stages run concurrently in threads (the `make -j`
+        analog of RunAllPathsLG's Makefile DAG, ref: SURVEY.md §2.7 P4):
+        device programs still serialize through the one accelerator queue,
+        but host compute, file IO and device work overlap (e.g. jump EC vs
+        the frag clean/fill chain; frag vs jump alignment)."""
+        import concurrent.futures as cf
+
+        have_jumps = self.rd.has("jump_reads_orig")
+        jobs: Dict[str, tuple] = {
+            "validate_inputs": ((), self.validate_inputs),
+            "remove_dodgy": ((), self.remove_dodgy),
+            "precorrect": (("remove_dodgy",), self.precorrect),
+            "find_errors": (("precorrect",), self.find_errors),
+            "clean_reads": (("find_errors",), self.clean_reads),
+            "fill_fragments": (("clean_reads",), self.fill_fragments),
+            "unipaths": (("fill_fragments",), self.unipaths),
+        }
+        if have_jumps:
+            jobs["jump_ec"] = (("find_errors",), self.jump_ec)
+            jobs["align_jumps"] = (("jump_ec", "unipaths"), self.align_jumps)
+            sc_deps = ("align_jumps", "unipaths")
+        else:
+            sc_deps = ("unipaths",)
+        jobs["make_scaffolds"] = (sc_deps, self.make_scaffolds)
+        jobs["align_frags"] = (("unipaths",), self.align_frags)
+        jobs["patch_gaps"] = (("align_frags", "make_scaffolds"),
+                              self.patch_gaps)
+        tail = ["patch_gaps"]
         if self.rd.has("long_reads_orig"):
-            self.long_read_patch()
+            jobs["long_read_patch"] = (tuple(tail), self.long_read_patch)
+            tail = ["long_read_patch"]
         if self.cfg.assist_ref:
-            self.assisted()
-        self.polish()
-        self.clean_final()
-        self.finalize()
-        self.submission_prep()
-        self.evaluate()
+            jobs["assisted"] = (tuple(tail), self.assisted)
+            tail = ["assisted"]
+        jobs["polish"] = (tuple(tail), self.polish)
+        jobs["clean_final"] = (("polish",), self.clean_final)
+        jobs["finalize"] = (("clean_final",), self.finalize)
+        jobs["submission_prep"] = (("clean_final",), self.submission_prep)
+        jobs["evaluate"] = (("clean_final",), self.evaluate)
+        self._run_dag(jobs, max_workers=self.cfg.stage_workers)
         return self.report()
+
+    def _run_dag(self, jobs: Dict[str, tuple], max_workers: int = 1):
+        """Topological thread-pool executor over (deps, fn) jobs. With
+        max_workers=1 this degrades to the serial order."""
+        import concurrent.futures as cf
+        import time as _t
+
+        if max_workers <= 1:
+            done: set = set()
+            while len(done) < len(jobs):
+                ready = [n for n, (deps, _) in jobs.items()
+                         if n not in done and all(d in done for d in deps)]
+                if not ready:
+                    raise RuntimeError("stage DAG cycle")
+                for n in ready:
+                    jobs[n][1]()
+                    done.add(n)
+            return
+        done = set()
+        futures: Dict[str, cf.Future] = {}
+        with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+            while len(done) < len(jobs):
+                for n, (deps, fn) in jobs.items():
+                    if (n not in done and n not in futures
+                            and all(d in done for d in deps)):
+                        futures[n] = ex.submit(fn)
+                if not futures:
+                    raise RuntimeError("stage DAG cycle")
+                finished = [n for n, f in futures.items() if f.done()]
+                if not finished:
+                    _t.sleep(0.05)
+                    continue
+                for n in finished:
+                    futures.pop(n).result()  # re-raise stage failures
+                    done.add(n)
