@@ -70,4 +70,4 @@ def clean_assembly(contigs: List[np.ndarray], scaffolds: List[Superb],
         "n_contained_dropped": len(drop),
         "n_scaffolds_out": len(out_scaffolds),
     }
-    return new_contigs, out_scaffolds, metrics
+    return new_contigs, out_scaffolds, metrics, remap

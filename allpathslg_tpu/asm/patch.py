@@ -279,55 +279,77 @@ def patch_scaffold_gaps(scaffolds: List[Superb], contigs: List[np.ndarray],
 
     new_scaffolds: List[Superb] = []
     n_closed = 0
+    pieces: List[Tuple[int, int, bool, int, int, int, int]] = []
+    # piece rows: (src_contig, dst_contig, flip, src_lo, src_hi, src_len,
+    # dst_off) in ORIENTED source coords — lets the caller thread EFASTA
+    # ambiguity records through the recomposition (ref: FlattenHKP).
     for si, sb in enumerate(scaffolds):
         ids = list(sb.contig_ids)
         rc = list(sb.rc)
         gaps = list(sb.gaps)
         devs = list(sb.gap_devs)
         # left-to-right composition over original junction indices
-        # piece state: current merged sequence (oriented)
         out_ids: List[int] = []
         out_rc: List[bool] = []
         out_gaps: List[int] = []
         out_devs: List[int] = []
         cur_seq: Optional[np.ndarray] = None  # pending merged sequence
+        cur_pieces: List[list] = []  # [src, flip, lo, hi, slen, dst_off]
+
+        def _flush(j_gap=None):
+            nonlocal cur_seq, cur_pieces
+            contigs.append(cur_seq)
+            nid = len(contigs) - 1
+            out_ids.append(nid)
+            out_rc.append(False)
+            if j_gap is not None:
+                out_gaps.append(gaps[j_gap])
+                out_devs.append(devs[j_gap])
+            for (src, flip, lo, hi, slen, doff) in cur_pieces:
+                pieces.append((src, nid, flip, lo, hi, slen, doff))
+            cur_seq = None
+            cur_pieces = []
+
+        def _cut_pieces(cut):
+            kept = []
+            for (src, flip, lo, hi, slen, doff) in cur_pieces:
+                if doff >= cut:
+                    continue
+                take = min(hi - lo, cut - doff)
+                kept.append([src, flip, lo, lo + take, slen, doff])
+            return kept
+
         for j in range(len(ids)):
             s_j = _oriented(np.asarray(contigs[ids[j]]), rc[j])
             if cur_seq is None:
                 cur_seq = s_j
+                cur_pieces = [[ids[j], rc[j], 0, len(s_j), len(s_j), 0]]
             if j == len(ids) - 1:
                 break
             acc = accepted.get((si, j))
             if acc is None:
-                # flush current piece
-                contigs.append(cur_seq)
-                out_ids.append(len(contigs) - 1)
-                out_rc.append(False)
-                out_gaps.append(gaps[j])
-                out_devs.append(devs[j])
-                cur_seq = None
+                _flush(j)
                 continue
             s2 = _oriented(np.asarray(contigs[ids[j + 1]]), rc[j + 1])
             if acc[0] == "neg":
                 _, A, T, tend = acc
                 cut = len(cur_seq) - T + tend
                 if cut < 0 or A > len(s2):
-                    contigs.append(cur_seq)
-                    out_ids.append(len(contigs) - 1)
-                    out_rc.append(False)
-                    out_gaps.append(gaps[j])
-                    out_devs.append(devs[j])
-                    cur_seq = None
+                    _flush(j)
                     continue
+                cur_pieces = _cut_pieces(cut)
+                cur_pieces.append([ids[j + 1], rc[j + 1], A, len(s2),
+                                   len(s2), cut])
                 cur_seq = np.concatenate([cur_seq[:cut], s2[A:]])
             else:
                 gg = acc[1]
                 ext = exts[(si, j)]
+                d = len(cur_seq) + gg
+                cur_pieces.append([ids[j + 1], rc[j + 1], 0, len(s2),
+                                   len(s2), d])
                 cur_seq = np.concatenate([cur_seq, ext[:gg], s2])
             n_closed += 1
         if cur_seq is not None:
-            contigs.append(cur_seq)
-            out_ids.append(len(contigs) - 1)
-            out_rc.append(False)
+            _flush()
         new_scaffolds.append(Superb(out_ids, out_rc, out_gaps, out_devs))
-    return contigs, new_scaffolds, n_closed
+    return contigs, new_scaffolds, n_closed, pieces

@@ -133,7 +133,7 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
     total = int(offsets[-1])
     n_contigs = len(offsets) - 1
     if total == 0:
-        return flat_bases, offsets, 0
+        return flat_bases, offsets, 0, []
     gstart = np.asarray(offsets[:-1], np.int64)
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
@@ -145,7 +145,7 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
     ok = np.asarray(al_ok)
     idx = np.nonzero(ok)[0]
     if len(idx) == 0:
-        return flat_bases, offsets, 0
+        return flat_bases, offsets, 0, []
     L = codes.shape[1]
     j = np.arange(L, dtype=np.int64)[None, :]
     sel_len = lengths[idx][:, None]
@@ -164,7 +164,7 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
     win_n = votes.max(1)
     contested = (support >= cfg.min_support) & (win_n < cfg.min_frac * support)
     if not contested.any():
-        return flat_bases, offsets, 0
+        return flat_bases, offsets, 0, []
     # cluster contested positions (gap <= 8 joins); suspect = cluster center
     cpos = np.nonzero(contested)[0]
     brk = np.nonzero(np.diff(cpos) > 8)[0]
@@ -251,7 +251,7 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
                 probs_t.append(var)
                 meta.append((si, vi))
     if not probs_q:
-        return flat_bases, offsets, 0
+        return flat_bases, offsets, 0, []
     tot, nreads = _batch_costs(probs_q, probs_t, meta)
 
     # pick best per suspect; refine a winning ins1 with ins2 candidates
@@ -302,12 +302,13 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
             edits.append((ci, ws, (x, kind, arg)))
 
     if not edits:
-        return flat_bases, offsets, 0
+        return flat_bases, offsets, 0, []
     # apply per contig, right-to-left (absolute position = ws + x)
     contigs = [flat_bases[offsets[i]:offsets[i + 1]].copy()
                for i in range(n_contigs)]
     by_c: dict = {}
     n_applied = 0
+    edit_rows = []  # (contig, pos, old_len, new_len) for amb threading
     for (ci, ws, (x, kind, arg)) in edits:
         a = ws + x
         if kind == "del":
@@ -324,8 +325,10 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
                 last_end = s + max(olen, len(var))
         for (s, var, olen) in reversed(kept):
             seq = np.concatenate([seq[:s], var, seq[s + olen:]])
+        for (s, var, olen) in kept:
+            edit_rows.append((ci, s, olen, len(var)))
         n_applied += len(kept)
         contigs[ci] = seq
     new_off = np.zeros(n_contigs + 1, np.int64)
     np.cumsum([len(c) for c in contigs], out=new_off[1:])
-    return np.concatenate(contigs), new_off, n_applied
+    return np.concatenate(contigs), new_off, n_applied, edit_rows

@@ -534,6 +534,7 @@ class Pipeline:
                         rd.hash_of(str(rd.metrics("make_scaffolds"))))
 
         def fn():
+            from allpathslg_tpu.asm.amb import AmbTable
             u = rd.load_arrays("unibases")
             offs = u["offsets"]
             contigs = [u["bases"][offs[i]:offs[i + 1]]
@@ -541,24 +542,31 @@ class Pipeline:
             scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
             al = rd.load_arrays("frag_alignlets")
             fr = rd.load_arrays("filled_reads")
-            new_contigs, new_scaffolds, n_closed = apatch.patch_scaffold_gaps(
-                scaffolds, contigs, fr["codes"], fr["lengths"],
-                al["contig"], al["anchor"], al["is_rc"], al["aligned"])
+            new_contigs, new_scaffolds, n_closed, pieces = \
+                apatch.patch_scaffold_gaps(
+                    scaffolds, contigs, fr["codes"], fr["lengths"],
+                    al["contig"], al["anchor"], al["is_rc"], al["aligned"])
+            # thread diploid ambiguity records through the recomposition
+            # (ref: FlattenHKP — round-1 left them stale after patching)
+            amb = AmbTable.from_arrays(u).from_pieces(pieces)
             # emit final contig set = contigs referenced by scaffolds
             used = sorted({c for sb in new_scaffolds for c in sb.contig_ids})
             remap = {c: i for i, c in enumerate(used)}
+            amb = amb.remap(remap)
             bases = np.concatenate([np.asarray(new_contigs[c]) for c in used]) \
                 if used else np.zeros(0, np.uint8)
             offsets = np.zeros(len(used) + 1, np.int64)
             np.cumsum([len(new_contigs[c]) for c in used], out=offsets[1:])
             for sb in new_scaffolds:
                 sb.contig_ids = [remap[c] for c in sb.contig_ids]
-            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets,
+                           **amb.to_arrays())
             ssb.write_superb(rd.file_path("assembly.superb"), new_scaffolds)
             ssb.write_agp(rd.file_path("assembly.agp"), new_scaffolds,
                           np.diff(offsets))
             return {"n_gaps_closed": int(n_closed),
-                    "n_contigs_final": len(used)}
+                    "n_contigs_final": len(used),
+                    "n_ambiguities_kept": amb.n}
 
         return self.run_stage("patch_gaps", ih,
                               ["contigs_final.npz", "assembly.superb",
@@ -774,10 +782,13 @@ class Pipeline:
                 m["contig"], m["anchor"], m["is_rc"], m["aligned"])
             # indel pass (ref: FixSomeIndels): contested-pileup suspects,
             # banded-DP variant scoring, re-polish substitutions after
-            bases, offsets, n_indel = apol.polish_indels(
+            bases, offsets, n_indel, edit_rows = apol.polish_indels(
                 bases, u["offsets"], fr["codes"], fr["lengths"],
                 m["contig"], m["anchor"], m["is_rc"], m["aligned"])
+            from allpathslg_tpu.asm.amb import AmbTable
+            amb = AmbTable.from_arrays(u)
             if n_indel:
+                amb = amb.shift(edit_rows)
                 m2 = self._align_reads_to_contigs_arrays(
                     bases, offsets, "filled_reads")
                 bases, n_changed2 = apol.polish_contigs(
@@ -786,7 +797,8 @@ class Pipeline:
                 n_changed += n_changed2
             else:
                 offsets = u["offsets"]
-            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets,
+                           **amb.to_arrays())
             return {"n_bases_fixed": int(n_changed),
                     "n_indels_fixed": int(n_indel)}
 
@@ -828,12 +840,15 @@ class Pipeline:
             scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
             ccfg = aclean.CleanConfig(
                 min_contig_len=cfg.min_contig_len or 2 * cfg.K)
-            contigs, scaffolds, m = aclean.clean_assembly(contigs, scaffolds,
-                                                          ccfg)
+            contigs, scaffolds, m, remap = aclean.clean_assembly(
+                contigs, scaffolds, ccfg)
+            from allpathslg_tpu.asm.amb import AmbTable
+            amb = AmbTable.from_arrays(u).remap(remap)
             bases = np.concatenate(contigs) if contigs else np.zeros(0, np.uint8)
             offsets = np.zeros(len(contigs) + 1, np.int64)
             np.cumsum([len(c) for c in contigs], out=offsets[1:])
-            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets,
+                           **amb.to_arrays())
             ssb.write_superb(rd.file_path("assembly.superb"), scaffolds)
             ssb.write_agp(rd.file_path("assembly.agp"), scaffolds,
                           np.diff(offsets))
@@ -869,25 +884,60 @@ class Pipeline:
         from allpathslg_tpu.io import efasta as eio
 
         ih = rd.hash_of("finalize", self._art_hash("unibases"),
+                        self._art_hash("contigs_final"),
                         rd.hash_of(str(rd.metrics("make_scaffolds"))))
 
         def fn():
+            from allpathslg_tpu.asm.amb import AmbTable
+            from allpathslg_tpu.dtypes.reads import string_from_codes
             u = rd.load_arrays("contigs_final") if rd.has("contigs_final") \
                 else rd.load_arrays("unibases")
             offs = u["offsets"]
             contigs = [u["bases"][offs[i]:offs[i + 1]]
                        for i in range(len(offs) - 1)]
+            amb = AmbTable.from_arrays(u)
             scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
             recs = []
             efrecs = []
+            n_amb_out = 0
             for si, sb in enumerate(scaffolds):
                 seq = ssb.scaffold_sequence(sb, contigs)
                 recs.append((f"scaffold_{si}", seq))
-                from allpathslg_tpu.dtypes.reads import string_from_codes
-                efrecs.append((f"scaffold_{si}", [string_from_codes(seq)]))
+                # ambiguity records mapped into scaffold coordinates
+                # (ref: FlattenHKP {a,b} emission)
+                blocks = []  # (scaffold_off, kept_len, alt)
+                at = 0
+                for i, cid in enumerate(sb.contig_ids):
+                    clen = len(contigs[cid])
+                    for (off, klen, alt) in amb.per_contig(cid):
+                        if sb.rc[i]:
+                            soff = at + clen - off - klen
+                            alt_s = (3 - np.asarray(alt)[::-1]) % 4
+                        else:
+                            soff = at + off
+                            alt_s = np.asarray(alt)
+                        blocks.append((int(soff), int(klen),
+                                       alt_s.astype(np.uint8)))
+                    at += clen
+                    if i < len(sb.gaps):
+                        at += max(int(sb.gaps[i]), 20)
+                segs = []
+                pos = 0
+                for (soff, klen, alt) in sorted(blocks):
+                    if soff < pos or soff + klen > len(seq):
+                        continue
+                    if soff > pos:
+                        segs.append(string_from_codes(seq[pos:soff]))
+                    segs.append((string_from_codes(seq[soff : soff + klen]),
+                                 string_from_codes(alt)))
+                    n_amb_out += 1
+                    pos = soff + klen
+                if pos < len(seq):
+                    segs.append(string_from_codes(seq[pos:]))
+                efrecs.append((f"scaffold_{si}", segs or [""]))
             fio.write_fasta(rd.file_path("final.assembly.fasta"), recs)
             eio.write_efasta(rd.file_path("final.assembly.efasta"), efrecs)
-            return {"n_records": len(recs)}
+            return {"n_records": len(recs), "n_ambiguities": int(n_amb_out)}
 
         return self.run_stage("finalize", ih,
                               ["final.assembly.fasta", "final.assembly.efasta"],

@@ -41,7 +41,7 @@ def _run_case(true_genome, err_genome):
     codes, lengths, starts = _mk_reads(true_genome)
     c, a, r, ok = _seed_alignments(err_genome, codes, starts)
     offsets = np.asarray([0, len(err_genome)], np.int64)
-    bases, off2, n_fix = apol.polish_indels(
+    bases, off2, n_fix, _ = apol.polish_indels(
         err_genome.copy(), offsets, codes, lengths, c, a, r, ok)
     return bases, n_fix
 
