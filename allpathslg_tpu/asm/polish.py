@@ -37,6 +37,42 @@ class PolishConfig:
     indel_margin: int = 2       # best variant must beat original by this
 
 
+def _pileup_votes(offsets: np.ndarray, codes: np.ndarray,
+                  lengths: np.ndarray, al_contig, al_anchor, al_rc, al_ok,
+                  chunk: int = 262144) -> np.ndarray:
+    """Per-column base votes [total, 4], accumulated in read chunks so the
+    intermediate coordinate matrices stay bounded at genome scale."""
+    total = int(offsets[-1])
+    gstart = np.asarray(offsets[:-1], np.int64)
+    gend = np.asarray(offsets[1:], np.int64)
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    al_contig = np.asarray(al_contig)
+    al_anchor = np.asarray(al_anchor)
+    al_rc = np.asarray(al_rc)
+    ok = np.asarray(al_ok)
+    idx_all = np.nonzero(ok)[0]
+    L = codes.shape[1]
+    j = np.arange(L, dtype=np.int64)[None, :]
+    votes = np.zeros(total * 4, np.int64)
+    for s in range(0, len(idx_all), chunk):
+        idx = idx_all[s : s + chunk]
+        sel_len = lengths[idx][:, None]
+        anchor = al_anchor[idx].astype(np.int64)[:, None]
+        rc = al_rc[idx][:, None]
+        tpos = np.where(rc, anchor - j, anchor + j)
+        base = codes[idx].astype(np.int64)
+        base = np.where(rc & (base < 4), 3 - base, base)
+        cs = gstart[al_contig[idx]][:, None]
+        gpos = cs + tpos
+        cend = gend[al_contig[idx]][:, None]
+        valid = (j < sel_len) & (base < 4) & (gpos >= cs) & (gpos < cend)
+        # bincount on (pos*4 + base) is ~20x faster than np.add.at scatter
+        votes += np.bincount(gpos[valid] * 4 + base[valid],
+                             minlength=total * 4)
+    return votes.reshape(total, 4).astype(np.int32)
+
+
 def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
                    codes: np.ndarray, lengths: np.ndarray,
                    al_contig, al_anchor, al_rc, al_ok,
@@ -44,39 +80,10 @@ def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
                    ) -> Tuple[np.ndarray, int]:
     """Returns (polished flat bases, n_changed)."""
     total = int(offsets[-1])
-    if total == 0:
+    if total == 0 or not np.asarray(al_ok).any():
         return flat_bases, 0
-    gstart = np.asarray(offsets[:-1], np.int64)
-
-    codes = np.asarray(codes)
-    lengths = np.asarray(lengths)
-    al_contig = np.asarray(al_contig)
-    al_anchor = np.asarray(al_anchor)
-    al_rc = np.asarray(al_rc)
-    ok = np.asarray(al_ok)
-
-    idx = np.nonzero(ok)[0]
-    N = len(idx)
-    if N == 0:
-        return flat_bases, 0
-    L = codes.shape[1]
-    j = np.arange(L, dtype=np.int64)[None, :]
-    sel_len = lengths[idx][:, None]
-    anchor = al_anchor[idx].astype(np.int64)[:, None]
-    rc = al_rc[idx][:, None]
-    tpos = np.where(rc, anchor - j, anchor + j)
-    base = codes[idx].astype(np.int64)
-    base = np.where(rc & (base < 4), 3 - base, base)
-    gpos = gstart[al_contig[idx]][:, None] + tpos
-    cend = np.asarray(offsets[1:], np.int64)[al_contig[idx]][:, None]
-    valid = (j < sel_len) & (base < 4) & (gpos >= gstart[al_contig[idx]][:, None]) & (gpos < cend)
-
-    flat_pos = gpos[valid]
-    flat_base = base[valid]
-    # bincount on (pos*4 + base) is ~20x faster than np.add.at scatter
-    votes = np.bincount(flat_pos * 4 + flat_base,
-                        minlength=total * 4).reshape(total, 4).astype(np.int32)
-
+    votes = _pileup_votes(offsets, codes, lengths,
+                          al_contig, al_anchor, al_rc, al_ok)
     support = votes.sum(1)
     winner = votes.argmax(1)
     win_n = votes[np.arange(total), winner]
@@ -143,23 +150,10 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
     al_anchor = np.asarray(al_anchor)
     al_rc = np.asarray(al_rc)
     ok = np.asarray(al_ok)
-    idx = np.nonzero(ok)[0]
-    if len(idx) == 0:
+    if not ok.any():
         return flat_bases, offsets, 0, []
-    L = codes.shape[1]
-    j = np.arange(L, dtype=np.int64)[None, :]
-    sel_len = lengths[idx][:, None]
-    anchor = al_anchor[idx].astype(np.int64)[:, None]
-    rc = al_rc[idx][:, None]
-    tpos = np.where(rc, anchor - j, anchor + j)
-    base = codes[idx].astype(np.int64)
-    base = np.where(rc & (base < 4), 3 - base, base)
-    gpos = gstart[al_contig[idx]][:, None] + tpos
-    cend = np.asarray(offsets[1:], np.int64)[al_contig[idx]][:, None]
-    valid = (j < sel_len) & (base < 4) \
-        & (gpos >= gstart[al_contig[idx]][:, None]) & (gpos < cend)
-    votes = np.bincount(gpos[valid] * 4 + base[valid],
-                        minlength=total * 4).reshape(total, 4)
+    votes = _pileup_votes(offsets, codes, lengths,
+                          al_contig, al_anchor, al_rc, ok)
     support = votes.sum(1)
     win_n = votes.max(1)
     contested = (support >= cfg.min_support) & (win_n < cfg.min_frac * support)

@@ -106,9 +106,11 @@ def path_reads(pl: KmerPlacement, codes: np.ndarray,
     jupos = jnp.asarray(pl.upos)
     jurc = jnp.asarray(pl.urc)
 
-    U = np.empty((N, P), np.int32)
-    F = np.empty((N, P), bool)
-    O = np.empty((N, P), np.int32)
+    # compress per batch (the [N, P] window matrices at genome scale would
+    # be tens of GB); ragged ReadPaths pieces concatenate trivially
+    piece_offsets = [np.zeros(1, np.int64)]
+    piece_arrays = {k: [] for k in ("uid", "fwd", "enter", "leave", "pos")}
+    at = 0
     for s in range(0, N, batch_size):
         e = min(s + batch_size, N)
         cb = codes[s:e]
@@ -117,10 +119,24 @@ def path_reads(pl: KmerPlacement, codes: np.ndarray,
                                              codes.dtype)])
         u, f, o = _window_placements(jnp.asarray(cb), K, table, juid, jupos,
                                      jurc)
-        U[s:e] = np.asarray(u)[: e - s]
-        F[s:e] = np.asarray(f)[: e - s]
-        O[s:e] = np.asarray(o)[: e - s]
-    return compress_window_paths(U, F, O)
+        rp = compress_window_paths(np.asarray(u)[: e - s],
+                                   np.asarray(f)[: e - s],
+                                   np.asarray(o)[: e - s])
+        piece_offsets.append(rp.offsets[1:] + at)
+        at += rp.offsets[-1]
+        piece_arrays["uid"].append(rp.uid)
+        piece_arrays["fwd"].append(rp.fwd)
+        piece_arrays["enter"].append(rp.enter)
+        piece_arrays["leave"].append(rp.leave)
+        piece_arrays["pos"].append(rp.pos)
+    cat = {k: (np.concatenate(v) if v else np.zeros(0, np.int32))
+           for k, v in piece_arrays.items()}
+    return ReadPaths(offsets=np.concatenate(piece_offsets),
+                     uid=cat["uid"].astype(np.int32),
+                     fwd=cat["fwd"].astype(bool),
+                     enter=cat["enter"].astype(np.int32),
+                     leave=cat["leave"].astype(np.int32),
+                     pos=cat["pos"].astype(np.int32))
 
 
 def compress_window_paths(U: np.ndarray, F: np.ndarray,

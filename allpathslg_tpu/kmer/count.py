@@ -182,15 +182,34 @@ def merge_counted(a: CountedKmers, b: CountedKmers) -> CountedKmers:
 def count_reads_streaming(codes: "np.ndarray", K: int,
                           quals: "np.ndarray" = None,
                           batch_size: int = 65536,
-                          device_budget_bytes: int = 3 << 30) -> CountedKmers:
+                          device_budget_bytes: int = 3 << 30,
+                          min_count: int = 0,
+                          min_qsum: int = 0,
+                          spectrum_max_freq: int = None):
     """Host driver for large read sets: count per fixed-size batch on device,
-    re-aggregate in ONE final device pass (the reference's multi-pass
-    parcels, ref: KmerParcelsBuilder).
+    re-aggregate (the reference's multi-pass parcels, ref:
+    KmerParcelsBuilder / naif_kmerize hash-block passes).
 
-    Two regimes: when the whole per-batch table set fits `device_budget_bytes`
-    of HBM, batches stay DEVICE-RESIDENT (no host round-trips, no per-batch
-    sync — the tunnel-latency killer); above the budget, trimmed per-batch
-    tables spill to host RAM (the out-of-core path)."""
+    Three regimes by size:
+      * fits `device_budget_bytes` of HBM → batches stay DEVICE-RESIDENT
+        (no host round-trips, no per-batch sync — the tunnel-latency killer);
+      * larger → trimmed per-batch tables spill to host RAM and merge back
+        in ONE device recount;
+      * larger than one recount can hold → RANGE-PARTITIONED multi-pass
+        merge: per-batch tables are sorted, so key-range slices stream
+        through bounded device recounts (the parcels pattern), optionally
+        filtering each merged part to rows with count >= min_count and
+        qsum >= min_qsum (exact: all copies of a kmer share its range).
+
+    min_count/min_qsum filter the RETURNED table in every regime (0 = keep
+    all). Callers that need genome-scale strong/graph tables from huge read
+    sets should pass their thresholds so the giant raw table never
+    materializes in one piece.
+
+    spectrum_max_freq: when set, also accumulate the spectrum of ALL counts
+    (pre-filter) and return (CountedKmers, spectrum np.ndarray) —
+    the ValidateAllPathsInputs path without retaining the raw table.
+    """
     n = codes.shape[0]
     L = codes.shape[1]
     W = bits.n_words(K)
@@ -199,7 +218,12 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
     n_arrays = W + 1 + (1 if quals is not None else 0)
     total_bytes = n_batches * rows_per_batch * n_arrays * 4
     if total_bytes <= device_budget_bytes:
-        return _count_reads_device_resident(codes, K, quals, batch_size)
+        ck = _count_reads_device_resident(codes, K, quals, batch_size)
+        if spectrum_max_freq is not None:
+            spec = np.asarray(spectrum_from_counts(ck.counts,
+                                                   spectrum_max_freq))
+            return _filter_counted(ck, min_count, min_qsum), spec
+        return _filter_counted(ck, min_count, min_qsum)
     parts = []
     for s in range(0, n, batch_size):
         e = min(s + batch_size, n)
@@ -216,31 +240,126 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
         parts.append((np.stack([np.asarray(w) for w in t.words]),
                       np.asarray(t.counts),
                       None if t.qsum is None else np.asarray(t.qsum)))
+    return _merge_host_parts(parts, min_count, min_qsum,
+                             spectrum_max_freq=spectrum_max_freq)
+
+
+def _filter_counted(ck: CountedKmers, min_count: int, min_qsum: int
+                    ) -> CountedKmers:
+    if min_count <= 1 and min_qsum <= 0:
+        return ck
+    keep = ck.counts >= max(min_count, 1)
+    if ck.qsum is not None and min_qsum > 0:
+        keep = keep & (ck.qsum >= min_qsum)
+    return compact_table([jnp.where(keep, w, jnp.uint32(0xFFFFFFFF))
+                          for w in ck.words],
+                         jnp.where(keep, ck.counts, 0), None,
+                         jnp.where(keep, ck.qsum, 0)
+                         if ck.qsum is not None else None)
+
+
+def _merge_host_parts(parts, min_count: int, min_qsum: int,
+                      rows_budget_bytes: int = 6 << 30,
+                      spectrum_max_freq: int = None):
+    """Merge sorted per-batch host tables via key-range partitioned device
+    recounts (exact per-kmer totals: a kmer's copies share its w0 range)."""
     W = parts[0][0].shape[0]
-    words_np = [np.concatenate([p[0][w] for p in parts]) for w in range(W)]
-    counts_np = np.concatenate([p[1] for p in parts])
     have_q = parts[0][2] is not None
-    qsum_np = np.concatenate([p[2] for p in parts]) if have_q else None
-    if len(parts) == 1:
-        return CountedKmers(words=[jnp.asarray(w) for w in words_np],
-                            counts=jnp.asarray(counts_np),
-                            qsum=None if qsum_np is None else jnp.asarray(qsum_np),
-                            n_unique=jnp.asarray(counts_np.shape[0], jnp.int32))
-    # quantize the merged-table size so recount_table compiles once per
-    # bucket, not once per read-set (sentinel rows sort last, count 0)
-    T = counts_np.shape[0]
-    bucket = 1 << 20
-    Tq = ((T + bucket - 1) // bucket) * bucket
-    if Tq != T:
-        pad = Tq - T
-        words_np = [np.concatenate([w, np.full(pad, 0xFFFFFFFF, np.uint32)])
-                    for w in words_np]
-        counts_np = np.concatenate([counts_np, np.zeros(pad, counts_np.dtype)])
-        if qsum_np is not None:
-            qsum_np = np.concatenate([qsum_np, np.zeros(pad, qsum_np.dtype)])
-    return recount_table([jnp.asarray(w) for w in words_np],
-                         jnp.asarray(counts_np),
-                         None if qsum_np is None else jnp.asarray(qsum_np))
+    n_arrays = W + 1 + (1 if have_q else 0)
+    total = sum(p[1].shape[0] for p in parts)
+    rows_per_pass = max(rows_budget_bytes // (n_arrays * 4 * 3), 1 << 20)
+    n_pass = max(1, int(np.ceil(total / rows_per_pass)))
+    spec_acc = (np.zeros(spectrum_max_freq + 1, np.int64)
+                if spectrum_max_freq is not None else None)
+
+    def run_one(words_np, counts_np, qsum_np):
+        T = counts_np.shape[0]
+        bucket = 1 << 20
+        Tq = ((T + bucket - 1) // bucket) * bucket
+        if Tq != T:
+            pad = Tq - T
+            words_np = [np.concatenate(
+                [w, np.full(pad, 0xFFFFFFFF, np.uint32)]) for w in words_np]
+            counts_np = np.concatenate([counts_np,
+                                        np.zeros(pad, counts_np.dtype)])
+            if qsum_np is not None:
+                qsum_np = np.concatenate([qsum_np,
+                                          np.zeros(pad, qsum_np.dtype)])
+        ck = recount_table([jnp.asarray(w) for w in words_np],
+                           jnp.asarray(counts_np),
+                           None if qsum_np is None else jnp.asarray(qsum_np))
+        if spec_acc is not None:
+            spec_acc[:] += np.asarray(
+                spectrum_from_counts(ck.counts, spectrum_max_freq))
+        return _filter_counted(ck, min_count, min_qsum)
+
+    def finish(ck):
+        if spec_acc is not None:
+            return ck, spec_acc.astype(np.int64)
+        return ck
+
+    if n_pass == 1:
+        words_np = [np.concatenate([p[0][w] for p in parts])
+                    for w in range(W)]
+        counts_np = np.concatenate([p[1] for p in parts])
+        qsum_np = np.concatenate([p[2] for p in parts]) if have_q else None
+        if len(parts) == 1 and min_count <= 1 and min_qsum <= 0:
+            ck = CountedKmers(
+                words=[jnp.asarray(w) for w in words_np],
+                counts=jnp.asarray(counts_np),
+                qsum=None if qsum_np is None else jnp.asarray(qsum_np),
+                n_unique=jnp.asarray(counts_np.shape[0], jnp.int32))
+            if spec_acc is not None:
+                spec_acc[:] += np.asarray(
+                    spectrum_from_counts(ck.counts, spectrum_max_freq))
+            return finish(ck)
+        return finish(run_one(words_np, counts_np, qsum_np))
+
+    # range boundaries from a w0 sample (canonical-form skew safe)
+    samp = np.concatenate([p[0][0][::997] for p in parts])
+    samp.sort()
+    qs = np.linspace(0, len(samp), n_pass + 1)[1:-1].astype(np.int64)
+    bounds = samp[np.minimum(qs, len(samp) - 1)] if len(samp) else \
+        np.zeros(0, np.uint32)
+    bounds = np.unique(bounds)
+    edges = [np.uint32(0)] + list(bounds) + [None]
+
+    merged = []
+    for pi in range(len(edges) - 1):
+        lo, hi = edges[pi], edges[pi + 1]
+        ws = [[] for _ in range(W)]
+        cs, qs_ = [], []
+        for p in parts:
+            w0 = p[0][0]
+            a = np.searchsorted(w0, lo, side="left")
+            b = np.searchsorted(w0, hi, side="left") if hi is not None \
+                else len(w0)
+            if b <= a:
+                continue
+            for w in range(W):
+                ws[w].append(p[0][w][a:b])
+            cs.append(p[1][a:b])
+            if have_q:
+                qs_.append(p[2][a:b])
+        if not cs:
+            continue
+        words_np = [np.concatenate(x) for x in ws]
+        counts_np = np.concatenate(cs)
+        qsum_np = np.concatenate(qs_) if have_q else None
+        ck = trim_to_host(run_one(words_np, counts_np, qsum_np))
+        merged.append((np.stack([np.asarray(w) for w in ck.words]),
+                       np.asarray(ck.counts),
+                       None if ck.qsum is None else np.asarray(ck.qsum)))
+    # parts cover disjoint increasing key ranges -> concatenation is the
+    # globally sorted merged table
+    words = [jnp.asarray(np.concatenate([m[0][w] for m in merged]))
+             for w in range(W)]
+    counts = jnp.asarray(np.concatenate([m[1] for m in merged]))
+    qsum = jnp.asarray(np.concatenate([m[2] for m in merged])) \
+        if have_q else None
+    return finish(CountedKmers(words=words, counts=counts, qsum=qsum,
+                               n_unique=jnp.asarray(counts.shape[0],
+                                                    jnp.int32)))
 
 
 def _count_reads_device_resident(codes, K: int, quals, batch_size: int

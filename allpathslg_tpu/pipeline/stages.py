@@ -89,9 +89,12 @@ class Pipeline:
         def fn():
             a = rd.load_arrays("frag_reads_orig")
             batch = batch_from_codes(a["codes"], a["lengths"], a.get("quals"))
-            ck_acc = kcount.count_reads_streaming(
-                np.asarray(batch.codes), cfg.K_ec, batch_size=cfg.batch_reads)
-            spec = np.asarray(kcount.spectrum(ck_acc, cfg.max_freq))
+            # spectrum-only streaming: the raw table is discarded per merge
+            # pass, so genome-scale read sets never hold a full table
+            _, spec = kcount.count_reads_streaming(
+                np.asarray(batch.codes), cfg.K_ec, batch_size=cfg.batch_reads,
+                min_count=1 << 30, spectrum_max_freq=cfg.max_freq)
+            spec = np.asarray(spec)
             ana = kspec.analyze(spec)
             rd.save_arrays("kspec_25mer", spectrum=spec)
             if int(a["lengths"].min()) < cfg.K_ec:
@@ -100,6 +103,7 @@ class Pipeline:
                 self._check_spectrum_oracle(batch, spec)
             return {
                 "n_reads": int(batch.n_reads),
+                "n_kmers_distinct": int(spec.sum()),
                 "genome_size_est": ana.genome_size_est,
                 "coverage_est": ana.coverage_est,
                 "spectrum_valley": ana.valley,
@@ -193,8 +197,12 @@ class Pipeline:
             total = 0
             # global strong table per round over all batches, then correct
             for r in range(ecfg.rounds):
+                # pre-filter to the strong thresholds during the streamed
+                # merge: the raw (reads x windows) table never materializes
                 ck_acc = kcount.count_reads_streaming(
-                    codes, ecfg.K, quals, batch_size=cfg.batch_reads)
+                    codes, ecfg.K, quals, batch_size=cfg.batch_reads,
+                    min_count=ecfg.min_strong_count,
+                    min_qsum=ecfg.min_strong_qsum)
                 table, n_strong = sec.strong_table(ck_acc, ecfg)
                 del ck_acc  # free the raw table's HBM before correction
                 table = sec.compact_strong_table(table, int(n_strong))
@@ -329,7 +337,8 @@ class Pipeline:
         def fn():
             a = rd.load_arrays("filled_reads")
             ck_acc = kcount.count_reads_streaming(
-                a["codes"], cfg.K, batch_size=cfg.batch_reads)
+                a["codes"], cfg.K, batch_size=cfg.batch_reads,
+                min_count=cfg.min_kmer_count)
             ck_acc = kcount.trim_to_host(ck_acc)
             ups, graph, placement = unipath.build_unipaths(
                 ck_acc.words, cfg.K, min_count=cfg.min_kmer_count,
