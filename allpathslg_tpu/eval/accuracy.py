@@ -151,3 +151,91 @@ def estimate_insert_stats(al_contig, al_anchor, al_rc, al_ok, read_lens,
         return 0.0, 0.0, np.zeros(0, np.int64)
     hist = np.bincount(np.minimum(ins, max_insert - 1))
     return float(ins.mean()), float(ins.std()), hist
+
+
+def base_error_report(contig_bases: np.ndarray, offsets: np.ndarray,
+                      genome: np.ndarray, K: int = 32, window: int = 400,
+                      band: int = 16, max_windows: int = 256,
+                      seed: int = 0) -> Dict:
+    """Base-level error classification via affine alignment paths (ref:
+    AssemblyAccuracy's per-base error report, src/paths/AssemblyAccuracy.cc;
+    gap model per src/pairwise_aligners/SmithWatAffine.cc).
+
+    Samples anchored contig windows, affine-aligns each against its placed
+    genome region with traceback (align/packalign), and classifies errors
+    into substitutions vs indels. Windows whose alignment cost exceeds
+    `window // 4` are counted as unaligned (misassembly-class) rather than
+    polluting the base-error rates.
+    """
+    from allpathslg_tpu.align import packalign
+
+    lens = np.diff(offsets)
+    table, upos, t_rc = _genome_kmer_table(genome, K)
+    rng = np.random.default_rng(seed)
+
+    # collect candidate (contig, pos) anchors, weighted by contig length
+    cands = []
+    for i in range(len(lens)):
+        L = int(lens[i])
+        if L < window + K:
+            continue
+        n_i = max(1, min(8, L // window))
+        for p in rng.integers(0, L - window - K + 1, n_i):
+            cands.append((i, int(p)))
+    if len(cands) > max_windows:
+        sel = rng.choice(len(cands), max_windows, replace=False)
+        cands = [cands[int(s)] for s in sel]
+
+    mm = opens = gapb = aligned = unplaced = 0
+    for ci, p in cands:
+        seq = contig_bases[offsets[ci] + p : offsets[ci] + p + window]
+        canon, valid = kmerize.kmer_windows(jnp.asarray(seq[None, :K]), K)
+        fwd, _ = kmerize.kmer_windows_fwd(jnp.asarray(seq[None, :K]), K)
+        keys = [w[0, :1] for w in canon]
+        idx, found = ops_join.searchsorted_words(table, keys)
+        if not bool(np.asarray(found)[0]):
+            unplaced += 1
+            continue
+        gp = int(np.asarray(upos[jnp.minimum(idx, table[0].shape[0] - 1)])[0])
+        if gp < 0:
+            unplaced += 1
+            continue
+        grc = bool(np.asarray(t_rc[idx])[0])
+        qrc = not bool(np.asarray(bits.lex_eq(canon, fwd))[0, 0])
+        orient_rc = grc ^ qrc
+        if orient_rc:
+            # window maps to the reverse strand: align the rc of the window
+            seq_al = (3 - seq[::-1]) % 4
+            gstart = gp + K - window
+        else:
+            seq_al = seq
+            gstart = gp
+        lo = max(0, gstart - band)
+        hi = min(len(genome), gstart + window + band)
+        tgt = genome[lo:hi]
+        if len(tgt) < window // 2:
+            unplaced += 1
+            continue
+        try:
+            cost, aln = packalign.affine_align_path(
+                seq_al, tgt, gstart - lo, band)
+        except ValueError:
+            unplaced += 1
+            continue
+        if cost > window // 4:
+            unplaced += 1
+            continue
+        m, o, g = aln.errors(seq_al, tgt)
+        mm += m
+        opens += o
+        gapb += g
+        aligned += window
+
+    return {
+        "eval_windows": len(cands),
+        "eval_unaligned_windows": int(unplaced),
+        "aligned_bases": int(aligned),
+        "sub_rate": round(mm / max(aligned, 1), 6),
+        "indel_rate": round(gapb / max(aligned, 1), 6),
+        "base_error_rate": round((mm + gapb) / max(aligned, 1), 6),
+    }

@@ -881,7 +881,9 @@ class Pipeline:
             art = "contigs_final" if rd.has("contigs_final") else "unibases"
             u = rd.load_arrays(art)
             g = rd.load_arrays("genome_truth")["genome"]
-            return eacc.evaluate(u["bases"], u["offsets"], g)
+            rep = eacc.evaluate(u["bases"], u["offsets"], g)
+            rep.update(eacc.base_error_report(u["bases"], u["offsets"], g))
+            return rep
 
         return self.run_stage("evaluate", ih, [], fn)
 
