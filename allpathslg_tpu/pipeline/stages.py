@@ -1109,13 +1109,8 @@ class Pipeline:
         self.log(f"  [check] spectrum oracle ok on {len(reads)} reads")
 
     def _art_hash(self, name: str) -> str:
-        """Cheap artifact fingerprint: file size + mtime."""
-        import os
-        p = self.rd._file(name)
-        if not os.path.exists(p):
-            return "missing"
-        s = os.stat(p)
-        return f"{s.st_size}:{int(s.st_mtime)}"
+        """Cheap artifact fingerprint: file sizes + mtimes."""
+        return self.rd.fingerprint(name)
 
     def run_contig_slice(self) -> Dict:
         """The §7.3 minimum slice: inputs → contigs + report."""
