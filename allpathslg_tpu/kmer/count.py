@@ -185,7 +185,9 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
                           device_budget_bytes: int = 3 << 30,
                           min_count: int = 0,
                           min_qsum: int = 0,
-                          spectrum_max_freq: int = None):
+                          spectrum_max_freq: int = None,
+                          merge_group: int = 8,
+                          acc_budget_bytes: int = 2 << 30):
     """Host driver for large read sets: count per fixed-size batch on device,
     re-aggregate (the reference's multi-pass parcels, ref:
     KmerParcelsBuilder / naif_kmerize hash-block passes).
@@ -193,13 +195,14 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
     Three regimes by size:
       * fits `device_budget_bytes` of HBM → batches stay DEVICE-RESIDENT
         (no host round-trips, no per-batch sync — the tunnel-latency killer);
-      * larger → trimmed per-batch tables spill to host RAM and merge back
-        in ONE device recount;
-      * larger than one recount can hold → RANGE-PARTITIONED multi-pass
-        merge: per-batch tables are sorted, so key-range slices stream
-        through bounded device recounts (the parcels pattern), optionally
-        filtering each merged part to rows with count >= min_count and
-        qsum >= min_qsum (exact: all copies of a kmer share its range).
+      * larger → INCREMENTAL DEVICE MERGE: every `merge_group` batch tables
+        are folded into a device-resident accumulator (concat + recount),
+        whose capacity is re-quantized to the next power of two above its
+        true unique count — bounded HBM, zero per-batch host transfers,
+        O(log) distinct compiled merge shapes;
+      * accumulator beyond `acc_budget_bytes` → spill it to host and finish
+        with the RANGE-PARTITIONED multi-pass merge (the parcels pattern):
+        key-range slices stream through bounded device recounts.
 
     min_count/min_qsum filter the RETURNED table in every regime (0 = keep
     all). Callers that need genome-scale strong/graph tables from huge read
@@ -224,7 +227,29 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
                                                    spectrum_max_freq))
             return _filter_counted(ck, min_count, min_qsum), spec
         return _filter_counted(ck, min_count, min_qsum)
-    parts = []
+
+    acc: Optional[CountedKmers] = None          # device-resident, quantized
+    group: List[CountedKmers] = []
+    spilled_parts = []                          # host fallback (huge tables)
+
+    def fold_group():
+        nonlocal acc, group, spilled_parts
+        if not group:
+            return
+        tabs = ([acc] if acc is not None else []) + group
+        group = []
+        merged = _concat_recount(tabs)
+        nu = int(merged.n_unique)               # one scalar sync per group
+        cap = _quantize_capacity(nu)
+        acc = _slice_table(merged, cap)         # compact front slice
+        if cap * n_arrays * 4 > acc_budget_bytes:
+            t = trim_to_host(acc)
+            spilled_parts.append(
+                (np.stack([np.asarray(w) for w in t.words]),
+                 np.asarray(t.counts),
+                 None if t.qsum is None else np.asarray(t.qsum)))
+            acc = None
+
     for s in range(0, n, batch_size):
         e = min(s + batch_size, n)
         cb = np.asarray(codes[s:e])
@@ -234,14 +259,49 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
             cb = np.concatenate([cb, np.full((pad, cb.shape[1]), 4, cb.dtype)])
             if qb is not None:
                 qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
-        ck = count_reads(jnp.asarray(cb), K,
-                         None if qb is None else jnp.asarray(qb))
-        t = trim_to_host(ck)
-        parts.append((np.stack([np.asarray(w) for w in t.words]),
-                      np.asarray(t.counts),
-                      None if t.qsum is None else np.asarray(t.qsum)))
-    return _merge_host_parts(parts, min_count, min_qsum,
-                             spectrum_max_freq=spectrum_max_freq)
+        group.append(count_reads(jnp.asarray(cb), K,
+                                 None if qb is None else jnp.asarray(qb)))
+        if len(group) >= merge_group:
+            fold_group()
+    fold_group()
+
+    if spilled_parts:
+        if acc is not None:
+            t = trim_to_host(acc)
+            spilled_parts.append(
+                (np.stack([np.asarray(w) for w in t.words]),
+                 np.asarray(t.counts),
+                 None if t.qsum is None else np.asarray(t.qsum)))
+        return _merge_host_parts(spilled_parts, min_count, min_qsum,
+                                 spectrum_max_freq=spectrum_max_freq)
+    if spectrum_max_freq is not None:
+        spec = np.asarray(spectrum_from_counts(acc.counts, spectrum_max_freq))
+        return _filter_counted(acc, min_count, min_qsum), spec
+    return _filter_counted(acc, min_count, min_qsum)
+
+
+def _quantize_capacity(n: int, floor: int = 1 << 20) -> int:
+    """Next power of two >= n (>= floor): O(log) distinct merge shapes."""
+    return max(floor, 1 << max(int(n) - 1, 1).bit_length())
+
+
+@jax.jit
+def _concat_recount(tabs: List[CountedKmers]) -> CountedKmers:
+    """Concatenate compact tables and re-aggregate on device."""
+    W = len(tabs[0].words)
+    words = [jnp.concatenate([t.words[w] for t in tabs]) for w in range(W)]
+    counts = jnp.concatenate([t.counts for t in tabs])
+    have_q = all(t.qsum is not None for t in tabs)
+    qsum = jnp.concatenate([t.qsum for t in tabs]) if have_q else None
+    return recount_table(words, counts, qsum)
+
+
+def _slice_table(ck: CountedKmers, cap: int) -> CountedKmers:
+    """Device slice of the compact front (cap >= n_unique required)."""
+    return CountedKmers(words=[w[:cap] for w in ck.words],
+                        counts=ck.counts[:cap],
+                        qsum=None if ck.qsum is None else ck.qsum[:cap],
+                        n_unique=ck.n_unique)
 
 
 def _filter_counted(ck: CountedKmers, min_count: int, min_qsum: int

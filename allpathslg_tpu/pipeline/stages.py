@@ -206,6 +206,7 @@ class Pipeline:
                 table, n_strong = sec.strong_table(ck_acc, ecfg)
                 del ck_acc  # free the raw table's HBM before correction
                 table = sec.compact_strong_table(table, int(n_strong))
+                self.log(f"  [find_errors] round {r}: strong table built")
                 n_round = 0
                 for s, e in _batched(codes, None, cfg.batch_reads):
                     c, n = sec.correct_round(jnp.asarray(codes[s:e]),
