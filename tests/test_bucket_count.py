@@ -1,0 +1,62 @@
+"""Bucketed grouping must count identically to the flat sort path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from allpathslg_tpu.kmer import count as kcount, kmerize
+from allpathslg_tpu.ops import bucket_count
+
+
+def _table_from(g, counts):
+    w = np.stack([np.asarray(x) for x in g])
+    c = np.asarray(counts)
+    keep = c > 0
+    tab = w[:, keep]
+    cc = c[keep]
+    order = np.lexsort(tab[::-1])
+    return tab[:, order], cc[order]
+
+
+def _oracle(flat):
+    skeys, counts, _ = kcount.count_sorted(flat)
+    return _table_from(skeys, counts)
+
+
+def test_grouped_counts_match_flat_sort():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, (400, 60)).astype(np.uint8)
+    canon, valid = kmerize.kmer_windows(jnp.asarray(codes), 24)
+    flat, _ = kmerize.flatten_kmers(canon, valid, 24)
+    ow, oc = _oracle(flat)
+    g, counts, _ = bucket_count.count_grouped(flat, tile_rows=2048,
+                                              n_buckets=16)
+    w, c = _table_from(g, counts)
+    np.testing.assert_array_equal(w, ow)
+    np.testing.assert_array_equal(c, oc)
+
+
+def test_grouped_with_heavy_duplication():
+    # few distinct keys, huge runs: stresses slab overflow + retry
+    rng = np.random.default_rng(1)
+    w0 = rng.integers(0, 7, 20000).astype(np.uint32)
+    w1 = rng.integers(0, 3, 20000).astype(np.uint32)
+    flat = [jnp.asarray(w0), jnp.asarray(w1)]
+    ow, oc = _oracle(flat)
+    g, counts, _ = bucket_count.count_grouped(flat, tile_rows=1024,
+                                              n_buckets=8)
+    w, c = _table_from(g, counts)
+    np.testing.assert_array_equal(w, ow)
+    np.testing.assert_array_equal(c, oc)
+
+
+def test_grouped_multiword_k96():
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, (80, 120)).astype(np.uint8)
+    canon, valid = kmerize.kmer_windows(jnp.asarray(codes), 96)
+    flat, _ = kmerize.flatten_kmers(canon, valid, 96)
+    ow, oc = _oracle(flat)
+    g, counts, _ = bucket_count.count_grouped(flat, tile_rows=1024,
+                                              n_buckets=8)
+    w, c = _table_from(g, counts)
+    np.testing.assert_array_equal(w, ow)
+    np.testing.assert_array_equal(c, oc)
