@@ -146,7 +146,12 @@ def consensus_patch(segs: List[np.ndarray], cfg: LongReadConfig
     c = np.asarray(cost)[: n * n].reshape(n, n).astype(np.float64)
     c[c >= (1 << 20)] = np.nan
     total = np.nansum(c, axis=1)
-    return keep[int(np.nanargmin(total))]
+    medoid = keep[int(np.nanargmin(total))]
+    # iterative consensus refinement against the stack (ref:
+    # ConsensusScoreModel / MultipleAligner, src/paths/long/)
+    from allpathslg_tpu.long import consensus as lcons
+    refined, _ = lcons.refine_consensus(medoid, keep, [0] * len(keep))
+    return refined
 
 
 def close_gap_with_long_reads(s1: np.ndarray, s2: np.ndarray, gap: int,
