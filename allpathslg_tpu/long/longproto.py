@@ -86,7 +86,8 @@ def long_proto(codes: np.ndarray, cfg: LongProtoConfig = LongProtoConfig()
     # 4) support-driven simplification
     sg = sup.build_supported(ups, g, rp)
     sg, m = sup.simplify_supported(sg, rp, cfg.min_support,
-                                   cfg.min_thread_support)
+                                   cfg.min_thread_support,
+                                   ploidy=cfg.ploidy)
     metrics.update(m)
 
     # the pulled-apart graph changed node ids → re-derive support for merge

@@ -96,10 +96,89 @@ def pull_apart(sg: SupportedGraph, rp: ReadPaths,
 
 
 def simplify_supported(sg: SupportedGraph, rp: ReadPaths,
-                       min_support: int = 2, min_thread_support: int = 2
+                       min_support: int = 2, min_thread_support: int = 2,
+                       ploidy: int = 1
                        ) -> Tuple[SupportedGraph, Dict[str, int]]:
-    """The LongProto cleanup loop: low-support deletion then pull-aparts."""
+    """The LongProto cleanup loop: low-support deletion, path-supported
+    bubble resolution, then pull-aparts."""
     sg, n_dropped = delete_low_support(sg, min_support)
+    sg, n_bub = resolve_bubbles_by_paths(sg, rp, ploidy=ploidy)
     sg, n_split = pull_apart(sg, rp, min_thread_support)
     return sg, {"n_edges_dropped": int(n_dropped),
+                "n_bubbles_resolved": int(n_bub),
                 "n_pulled_apart": int(n_split)}
+
+
+def resolve_bubbles_by_paths(sg: SupportedGraph, rp: ReadPaths,
+                             min_ratio: float = 3.0, ploidy: int = 1
+                             ) -> Tuple[SupportedGraph, int]:
+    """Path-supported bubble resolution (ref: SupportedHyperBasevector's
+    path-weight-driven bubble handling, src/paths/long/): at every
+    2-in/2-out simple bubble, compare READ-PATH support of the two branches
+    (min of entry/exit edge crossings) and delete a branch only when it is
+    dominated >= min_ratio:1 — sequencing-error branches die, balanced
+    (haplotype) bubbles survive for the diploid EFASTA machinery.
+
+    For ploidy 1 a dominated branch is deleted outright; for ploidy 2 a
+    branch is deleted only if its support is ALSO below 2 (noise floor) —
+    genuine het bubbles keep both sides.
+    """
+    from allpathslg_tpu.graph.cleanup import ChainGraph
+    from allpathslg_tpu.graph.pathsdb import pack_edges
+    from allpathslg_tpu.graph.unipath import UniGraph
+    import dataclasses as _dc
+
+    g = sg.g
+    supp = {}
+    kf = pack_edges(g.a, g.fa, g.b, g.fb)
+    kr = pack_edges(g.b, ~g.fb, g.a, ~g.fa)
+    for k, s in zip(np.minimum(kf, kr), sg.edge_support):
+        supp[int(k)] = int(s)
+
+    def esup(u, fu, v, fv):
+        a = int(pack_edges(np.array([u]), np.array([fu]),
+                           np.array([v]), np.array([fv]))[0])
+        b = int(pack_edges(np.array([v]), np.array([not fv]),
+                           np.array([u]), np.array([not fu]))[0])
+        return supp.get(min(a, b), 0)
+
+    cg = ChainGraph(sg.ups, g)
+    killed = set()
+    n_resolved = 0
+    for c in range(sg.ups.n):
+        if c in cg.dead:
+            continue
+        for f in (False, True):
+            u = (c, f)
+            outs = cg.outs(u)
+            if len(outs) != 2:
+                continue
+            (x, fx), (y, fy) = outs
+            if x == y or x in cg.dead or y in cg.dead:
+                continue
+            if len(cg.ins((x, fx))) != 1 or len(cg.ins((y, fy))) != 1:
+                continue
+            ox, oy = cg.outs((x, fx)), cg.outs((y, fy))
+            if len(ox) != 1 or len(oy) != 1 or ox[0] != oy[0]:
+                continue
+            w, fw = ox[0]
+            sx = min(esup(c, f, x, fx), esup(x, fx, w, fw))
+            sy = min(esup(c, f, y, fy), esup(y, fy, w, fw))
+            if sx >= sy:
+                alt, s_hi, s_lo = y, sx, sy
+            else:
+                alt, s_hi, s_lo = x, sy, sx
+            if s_hi >= min_ratio * max(s_lo, 1):
+                if ploidy >= 2 and s_lo >= 2:
+                    continue
+                cg.kill(alt)
+                killed.add(alt)
+                n_resolved += 1
+    if not killed:
+        return sg, 0
+    keep_e = np.array([int(a) not in killed and int(b) not in killed
+                       for a, b in zip(g.a, g.b)], bool)
+    g2 = UniGraph(a=g.a[keep_e], fa=g.fa[keep_e],
+                  b=g.b[keep_e], fb=g.fb[keep_e])
+    sg2 = _dc.replace(sg, g=g2, edge_support=sg.edge_support[keep_e])
+    return sg2, n_resolved

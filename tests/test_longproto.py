@@ -101,3 +101,42 @@ def test_supported_graph_pull_apart_resolves_repeat():
     # with the repeat resolved, one contig spans (nearly) the genome
     best = max(res.contigs.seqs, key=len)
     assert len(best) > 0.85 * len(genome), (len(best), len(genome))
+
+
+def test_path_supported_bubble_resolution():
+    """An error branch dominated >=3:1 by path support dies; a balanced
+    (het) bubble survives at ploidy 2."""
+    from allpathslg_tpu.graph.unipath import Unipaths, UniGraph
+    from allpathslg_tpu.long import supported as sup
+
+    # nodes: 0 -> {1 weak, 2 strong} -> 3 and 0 -> {4, 5 balanced} -> 3
+    def mk_graph():
+        bases = np.zeros(60, np.uint8)
+        offsets = np.arange(0, 70, 10, np.int64)
+        ups = Unipaths(bases=bases, offsets=offsets,
+                       kmer_counts=np.full(6, 5, np.int32))
+        a = np.array([0, 0, 1, 2], np.int32)
+        b = np.array([1, 2, 3, 3], np.int32)
+        fa = np.ones(4, bool)
+        fb = np.ones(4, bool)
+        return ups, UniGraph(a=a, fa=fa, b=b, fb=fb)
+
+    ups, g = mk_graph()
+    # edge_support order matches edge rows: 0->1 weak(1), 0->2 strong(9),
+    # 1->3 weak(1), 2->3 strong(9)
+    es = np.array([1, 9, 1, 9], np.int32)
+    sg = sup.SupportedGraph(ups=ups, g=g, edge_support=es,
+                            node_cov=np.ones(6, np.int32))
+    rp = None  # unused by resolve_bubbles_by_paths
+    sg2, n = sup.resolve_bubbles_by_paths(sg, rp, min_ratio=3.0, ploidy=1)
+    assert n == 1
+    assert 1 not in set(sg2.g.a.tolist()) | set(sg2.g.b.tolist())
+
+    # balanced het bubble at ploidy 2 survives
+    ups, g = mk_graph()
+    es = np.array([5, 6, 5, 6], np.int32)
+    sg = sup.SupportedGraph(ups=ups, g=g, edge_support=es,
+                            node_cov=np.ones(6, np.int32))
+    sg2, n = sup.resolve_bubbles_by_paths(sg, rp, min_ratio=3.0, ploidy=2)
+    assert n == 0
+    assert len(sg2.g.a) == 4
