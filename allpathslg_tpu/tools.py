@@ -8,6 +8,7 @@ Subcommands mirror the reference's ad-hoc executables:
   kspec        k-mer spectrum + genome size report  (ref: KmerSpectra CLI use)
   convert      fastq/fasta/sam <-> npz read arrays  (ref: Fastb converters)
   align        place reads on a target FASTA        (ref: QueryLookupTable)
+  longproto    region assembly from longer reads    (ref: LongProto)
 
 Usage: python -m allpathslg_tpu.tools <subcommand> [args]
 """
@@ -51,6 +52,24 @@ def cmd_stats(args):
     if qmean is not None:
         out["mean_qual"] = round(qmean, 1)
     print(json.dumps(out))
+
+
+def cmd_longproto(args):
+    """LongProto-style region assembly from a FASTQ of longer reads
+    (ref: src/paths/long/LongProto.cc entry point)."""
+    from allpathslg_tpu.io import native_fastq, fasta as fio
+    from allpathslg_tpu.long import longproto as lp
+
+    codes, quals, lengths = native_fastq.read_fastq_arrays(args.reads)
+    cfg = lp.LongProtoConfig(K=args.k, ploidy=args.ploidy)
+    res = lp.long_proto(codes, cfg)
+    recs = [(f"contig_{i}", s) for i, s in enumerate(res.contigs.seqs)]
+    out = args.out or "longproto.contigs.fasta"
+    fio.write_fasta(out, recs)
+    print(json.dumps({"n_reads": int(codes.shape[0]),
+                      "n_contigs": len(recs),
+                      "total_bases": int(sum(len(s) for _, s in recs)),
+                      "out": out, **res.metrics}))
 
 
 def cmd_search(args):
@@ -250,6 +269,13 @@ def main(argv=None):
     p.add_argument("src")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("longproto")
+    p.add_argument("reads")
+    p.add_argument("--k", type=int, default=48)
+    p.add_argument("--ploidy", type=int, default=1)
+    p.add_argument("--out", default="")
+    p.set_defaults(fn=cmd_longproto)
 
     p = sub.add_parser("align")
     p.add_argument("reads")
