@@ -155,6 +155,34 @@ def spectrum_reads(codes: jnp.ndarray, K: int, max_freq: int = 255):
     return spec, jnp.sum((counts > 0).astype(jnp.int32))
 
 
+def spectrum_reads_auto(codes: jnp.ndarray, K: int, max_freq: int = 255):
+    """Spectrum + n_unique via the TUNED counting engine (tuning.py
+    "count_engine"): "bucketed" routes through ops/bucket_count.py (VMEM
+    row sorts; falls back to the flat path on slab overflow), "flat" is
+    `spectrum_reads`. Host-level wrapper (the overflow check syncs once).
+    """
+    from allpathslg_tpu import tuning
+
+    if tuning.get("count_engine") != "bucketed":
+        return spectrum_reads(codes, K, max_freq)
+    from allpathslg_tpu.ops import bucket_count
+
+    flat = _kmer_flat_jit(codes, K)
+    N, R, B, S = bucket_count.grouping_plan(int(flat[0].shape[0]))
+    words = bucket_count._pad_to(list(flat), N)
+    spec, nu, ok = bucket_count.spectrum_grouped(words, R, B, S, max_freq)
+    if bool(ok):
+        return spec, nu
+    return spectrum_reads(codes, K, max_freq)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _kmer_flat_jit(codes, K: int):
+    canon, valid = kmerize.kmer_windows(codes, K)
+    flat, _ = kmerize.flatten_kmers(canon, valid, K)
+    return list(flat)
+
+
 @jax.jit
 def recount_table(words, counts, qsum=None) -> CountedKmers:
     """Re-aggregate a (possibly duplicated, unsorted) kmer table: sum counts

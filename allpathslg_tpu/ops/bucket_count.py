@@ -83,12 +83,22 @@ def group_keys(words: Sequence[jnp.ndarray], tile_rows: int,
     qi = (jnp.arange(1, B, dtype=jnp.int32) * M) // B
     edges = samp[qi]                                   # [B-1] ascending
 
+    # sentinels (all-ones keys: padding + invalid windows) sort to each
+    # row's end; bucket spans are clipped to the real-key prefix so
+    # sentinels never occupy slab slots (they'd all crowd one bucket and
+    # force overflow on N-rich inputs)
+    sent_row = srt[0] == SENT
+    for w in srt[1:]:
+        sent_row = sent_row & (w == SENT)
+    nreal = (R - jnp.sum(sent_row, axis=1)).astype(jnp.int32)  # [T]
+
     # per-tile bucket boundaries on the leading word
     starts = jax.vmap(lambda row: jnp.searchsorted(row, edges,
                                                    side="left"))(srt[0])
     starts = jnp.concatenate(
         [jnp.zeros((T, 1), starts.dtype), starts,
          jnp.full((T, 1), R, starts.dtype)], axis=1)   # [T, B+1]
+    starts = jnp.minimum(starts, nreal[:, None]).astype(starts.dtype)
     cnt = starts[:, 1:] - starts[:, :-1]               # [T, B]
     max_run = cnt.max().astype(jnp.int32)
 
@@ -153,3 +163,43 @@ def count_grouped(flat_words: Sequence[jnp.ndarray],
     # pathological key distribution: fall back to the flat sort
     from allpathslg_tpu.kmer import count as kcount
     return kcount.count_sorted(words)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "n_buckets",
+                                             "slots", "max_freq"))
+def spectrum_grouped(words: Sequence[jnp.ndarray], tile_rows: int,
+                     n_buckets: int, slots: int, max_freq: int = 255):
+    """Jittable spectrum via bucketed grouping (no flat global sort).
+
+    Returns (spec [max_freq+1], n_unique, ok) — ok False means a
+    (tile, bucket) slab overflowed and the result is INVALID; the caller
+    must re-run with larger slots or use the flat path. Padding sentinels
+    are excluded from both spec and n_unique.
+    """
+    from allpathslg_tpu.kmer import bits
+    from allpathslg_tpu.kmer import count as kcount
+    from allpathslg_tpu.ops import sort as ops_sort
+    from allpathslg_tpu.ops import segmented
+
+    g, max_run = group_keys(list(words), tile_rows, n_buckets, slots)
+    starts = ops_sort.run_starts(g)
+    counts = segmented.run_lengths(starts)
+    counts = jnp.where(~bits.is_sentinel(g), counts, 0)
+    spec = kcount.spectrum_from_counts(counts, max_freq)
+    n_unique = jnp.sum((counts > 0).astype(jnp.int32))
+    return spec, n_unique, max_run <= slots
+
+
+def grouping_plan(n_rows: int, tile_rows: int = 1 << 17,
+                  n_buckets: int = 128, slack: float = 1.5):
+    """Static (padded_n, tile_rows, n_buckets, slots) for a flat key count,
+    shared by spectrum_grouped callers so shapes (and compiles) coincide."""
+    R = tile_rows
+    while R > n_rows:
+        R >>= 1
+    R = max(R, 1024)
+    N = ((n_rows + R - 1) // R) * R
+    T = N // R
+    B = min(n_buckets, max(T, 8))
+    S = int(np.ceil(N / (B * T) * slack))
+    return N, R, B, S

@@ -58,7 +58,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from allpathslg_tpu.kmer import count as kcount
+    from allpathslg_tpu import tuning
+    from allpathslg_tpu.kmer import count as kcount, kmerize
 
     K = 24
     n_reads, read_len = 131072, 150
@@ -69,15 +70,36 @@ def main():
     codes = jnp.asarray(rng.integers(0, 4, (n_reads, read_len)).astype(np.uint8))
 
     dev = jax.devices()[0]
-    log(f"bench device: {dev} ({dev.device_kind})")
+    engine = tuning.get("count_engine")
+    log(f"bench device: {dev} ({dev.device_kind}); count_engine={engine}")
 
-    @jax.jit
-    def many(codes):
-        def body(i, tot):
-            c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
-            spec, nu = kcount.spectrum_reads(c, K, 255)
-            return tot + nu
-        return lax.fori_loop(0, REP, body, jnp.int32(0))
+    if engine == "bucketed":
+        from allpathslg_tpu.ops import bucket_count
+
+        N, R, Bk, S = bucket_count.grouping_plan(kmers_per_batch)
+
+        @jax.jit
+        def many(codes):
+            def body(i, carry):
+                tot, allok = carry
+                c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
+                canon, valid = kmerize.kmer_windows(c, K)
+                flat, _ = kmerize.flatten_kmers(canon, valid, K)
+                words = bucket_count._pad_to(list(flat), N)
+                spec, nu, ok = bucket_count.spectrum_grouped(
+                    words, R, Bk, S, 255)
+                return tot + nu, allok & ok
+            tot, allok = lax.fori_loop(0, REP, body,
+                                       (jnp.int32(0), jnp.bool_(True)))
+            return tot + jnp.where(allok, 0, 1 << 30)
+    else:
+        @jax.jit
+        def many(codes):
+            def body(i, tot):
+                c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
+                spec, nu = kcount.spectrum_reads(c, K, 255)
+                return tot + nu
+            return lax.fori_loop(0, REP, body, jnp.int32(0))
 
     int(many(codes))  # compile + warm
     ts = []
