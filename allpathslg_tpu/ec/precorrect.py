@@ -128,3 +128,144 @@ def _sum_per_run_at_starts(values, starts, rl):
     last = jnp.clip(idx + rl - 1, 0, T - 1)
     before = jnp.where(idx > 0, cs[jnp.maximum(idx - 1, 0)], 0)
     return jnp.where(rl > 0, cs[last] - before, 0)
+
+
+# ---------------------------------------------------------------------------
+# Global (all-reads) stacks — the scale-correct path.
+#
+# The jitted `precorrect` above piles stacks WITHIN one batch; at genome
+# scale a 65k-read batch holds ~1x coverage and stacks never reach
+# min_winner (observed: 26 corrections on 4.6 Mb/100x vs ~15k/Mb expected).
+# The reference piles 25-mer stacks over the WHOLE read set via hash-block
+# passes (ref: src/kmers/naif_kmer/NaifKmerizer.cc driving PreCorrect).
+# Here: pass 1 streams batches into a global (context, base) -> count table
+# (3-word keys through the generic count machinery); pass 2 re-streams and
+# votes each window against the global table via searchsorted joins — no
+# sort in the apply pass at all.
+# ---------------------------------------------------------------------------
+
+
+def _orient_windows(codes, quals):
+    """Strand-neutral per-window records: oriented masked-context key
+    (2 words), oriented center base, center qual, valid mask, rc flag —
+    all in [N, P] layout."""
+    N, L = codes.shape
+    P = L - K_PRE + 1
+    fwd, valid = kmerize.kmer_windows_fwd(codes, K_PRE)
+    ctx_f = bits.mask_base(fwd, CENTER)
+    rc = bits.rc_words(fwd, K_PRE)
+    ctx_r = bits.mask_base(rc, CENTER)
+    use_rc = bits.lex_less(ctx_r, ctx_f)
+    key = bits.select_words(use_rc, ctx_r, ctx_f)
+    center_in_read = codes[:, CENTER : CENTER + P].astype(jnp.int32)
+    center = jnp.where(use_rc, 3 - center_in_read, center_in_read)
+    cqual = quals[:, CENTER : CENTER + P].astype(jnp.int32)
+    return key, center, cqual, valid, use_rc
+
+
+@jax.jit
+def precorrect_stats_batch(codes: jnp.ndarray, quals: jnp.ndarray):
+    """Compact (context, base) -> count table for one batch (3-word keys:
+    ctx_w0, ctx_w1, base)."""
+    from allpathslg_tpu.kmer import count as kcount
+
+    key, center, _, valid, _ = _orient_windows(codes, quals)
+    sent = jnp.uint32(0xFFFFFFFF)
+    vm = valid.reshape(-1)
+    words = [jnp.where(vm, w.reshape(-1), sent) for w in key]
+    words.append(jnp.where(vm, center.reshape(-1).astype(jnp.uint32), sent))
+    skeys, counts, starts = kcount.count_sorted(words)
+    return kcount.compact_table(skeys, counts, starts)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def precorrect_apply_batch(codes, quals, table_words, table_counts,
+                           cfg: PrecorrectConfig = PrecorrectConfig()):
+    """Vote every window of one batch against the global stack table.
+
+    table_words: 3 sorted uint32 arrays [M] (ctx_w0, ctx_w1, base);
+    table_counts: int32 [M]. Returns (corrected_codes, n_corrections)."""
+    from allpathslg_tpu.ops import join
+
+    N, L = codes.shape
+    P = L - K_PRE + 1
+    key, center, cqual, valid, use_rc = _orient_windows(codes, quals)
+    flat_ctx = [w.reshape(-1) for w in key]
+    n_b = []
+    for b in range(4):
+        q = flat_ctx + [jnp.full_like(flat_ctx[0], b)]
+        cnt, _ = join.lookup_payload(table_words, table_counts, q, 0)
+        n_b.append(cnt)
+    n_b = jnp.stack(n_b, axis=-1)                     # [N*P, 4]
+
+    own = center.reshape(-1)
+    own_n = jnp.take_along_axis(n_b, own[:, None], axis=1)[:, 0]
+    winner = jnp.argmax(n_b, axis=-1).astype(jnp.int32)
+    win_n = jnp.take_along_axis(n_b, winner[:, None], axis=1)[:, 0]
+    squal = cqual.reshape(-1)
+    protected = (squal >= cfg.qual_protect) & (own_n >= 2)
+    fix = (
+        (own != winner)
+        & (win_n >= cfg.min_winner)
+        & (win_n >= cfg.min_ratio * jnp.maximum(own_n, 1))
+        & ~protected
+        & valid.reshape(-1)
+    )
+    new_center = jnp.where(fix, winner, -1).reshape(N, P)
+    do_fix = new_center >= 0
+    fixed_val = jnp.where(use_rc, 3 - new_center, new_center)
+    interior = codes[:, CENTER : CENTER + P].astype(jnp.int32)
+    updated = jnp.where(do_fix, fixed_val, interior).astype(jnp.uint8)
+    out = codes.at[:, CENTER : CENTER + P].set(updated)
+    return out, jnp.sum(do_fix)
+
+
+def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
+                      batch_size: int = 65536):
+    """Two-pass global pre-correction over a host read set (numpy in/out).
+
+    Pass 1 builds the global (context, base) count table (count-1 rows are
+    dropped: they cannot win a vote, cannot be a >=2 protected minority, and
+    with max(own_n, 1) an absent own row scores identically to count 1).
+    Pass 2 corrects each batch against the table.
+    """
+    import numpy as np
+
+    from allpathslg_tpu.kmer import count as kcount
+
+    n, L = codes.shape
+    parts = []
+    for s in range(0, n, batch_size):
+        cb, qb = _pad_slice(codes, quals, s, batch_size)
+        t = kcount.trim_to_host(precorrect_stats_batch(
+            jnp.asarray(cb), jnp.asarray(qb)))
+        parts.append((np.stack([np.asarray(w) for w in t.words]),
+                      np.asarray(t.counts), None))
+    merged = kcount._merge_host_parts(parts, min_count=2, min_qsum=0)
+    merged = kcount.trim_to_host(merged)
+    tw = [jnp.asarray(np.asarray(w)) for w in merged.words]
+    tc = jnp.asarray(np.asarray(merged.counts))
+
+    out = np.empty_like(codes)
+    total = 0
+    for s in range(0, n, batch_size):
+        cb, qb = _pad_slice(codes, quals, s, batch_size)
+        c, k = precorrect_apply_batch(jnp.asarray(cb), jnp.asarray(qb),
+                                      tw, tc, cfg)
+        e = min(s + batch_size, n)
+        out[s:e] = np.asarray(c)[: e - s]
+        total += int(k)
+    return out, total
+
+
+def _pad_slice(codes, quals, s: int, batch_size: int):
+    import numpy as np
+
+    e = min(s + batch_size, codes.shape[0])
+    cb = np.asarray(codes[s:e])
+    qb = np.asarray(quals[s:e])
+    if e - s < batch_size:
+        pad = batch_size - (e - s)
+        cb = np.concatenate([cb, np.full((pad, cb.shape[1]), 4, cb.dtype)])
+        qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+    return cb, qb

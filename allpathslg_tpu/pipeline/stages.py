@@ -168,16 +168,12 @@ class Pipeline:
 
         def fn():
             a = rd.load_arrays("frag_reads_filt")
-            codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
-            quals, _ = _pad_batch(a["quals"], cfg.batch_reads, 0)
-            out = np.empty_like(codes)
-            total = 0
-            for s, e in _batched(codes, None, cfg.batch_reads):
-                c, n = pc.precorrect(jnp.asarray(codes[s:e]),
-                                     jnp.asarray(quals[s:e]), cfg.precorrect)
-                out[s:e] = np.asarray(c)
-                total += int(n)
-            rd.save_arrays("frag_reads_prec", codes=out[:n_real],
+            # global stacks: votes pool over ALL reads, not one batch
+            # (per-batch stacks starve below min_winner at genome scale)
+            out, total = pc.precorrect_global(a["codes"], a["quals"],
+                                              cfg.precorrect,
+                                              batch_size=cfg.batch_reads)
+            rd.save_arrays("frag_reads_prec", codes=out,
                            lengths=a["lengths"], quals=a["quals"],
                            **({"pairs": a["pairs"]} if "pairs" in a else {}))
             return {"n_corrections": total}

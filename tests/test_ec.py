@@ -101,3 +101,40 @@ def test_ec_preserves_het_snps():
     newly_wrong = ((np.asarray(c2) != true) & (np.asarray(batch.codes) == true)).sum()
     errs = (np.asarray(batch.codes) != true).sum()
     assert newly_wrong <= max(3, 0.01 * errs), (newly_wrong, errs)
+
+
+def test_precorrect_global_matches_single_batch():
+    # one batch >= all reads: global stacks == in-batch stacks -> identical
+    genome, batch, truth = _simulated()
+    codes = np.asarray(batch.codes)
+    quals = np.asarray(batch.quals)
+    fixed_b, n_b = pc.precorrect(batch.codes, batch.quals)
+    fixed_g, n_g = pc.precorrect_global(codes, quals,
+                                        batch_size=codes.shape[0])
+    assert int(n_g) == int(n_b)
+    np.testing.assert_array_equal(fixed_g, np.asarray(fixed_b))
+
+
+def test_precorrect_global_pools_evidence_across_batches():
+    # THE genome-scale failure mode: reads split into thin batches starve
+    # per-batch stacks below min_winner; global stacks must still vote.
+    genome, batch, truth = _simulated(coverage=40, G=8_000, seed=9)
+    codes = np.asarray(batch.codes)
+    quals = np.asarray(batch.quals)
+    true = _true_codes(truth, batch)
+    interior = slice(12, codes.shape[1] - 12)
+    int_before = int((codes[:, interior] != true[:, interior]).sum())
+    assert int_before > 0
+
+    bs = max(8, codes.shape[0] // 16)  # ~2.5x coverage per batch
+    per_batch_total = 0
+    for s in range(0, codes.shape[0], bs):
+        _, k = pc.precorrect(jnp.asarray(codes[s : s + bs]),
+                             jnp.asarray(quals[s : s + bs]))
+        per_batch_total += int(k)
+    fixed_g, n_g = pc.precorrect_global(codes, quals, batch_size=bs)
+    int_after = int((fixed_g[:, interior] != true[:, interior]).sum())
+    assert n_g > 2 * max(per_batch_total, 1), (n_g, per_batch_total)
+    assert int_after < 0.35 * int_before, (int_before, int_after)
+    newly_wrong = ((fixed_g != true) & (codes == true)).sum()
+    assert newly_wrong <= max(2, 0.001 * int_before), newly_wrong
