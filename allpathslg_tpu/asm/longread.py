@@ -125,7 +125,7 @@ def consensus_patch(segs: List[np.ndarray], cfg: LongReadConfig
 
     n = len(keep)
     Lq = max(max(len(s) for s in keep), 8)
-    band = max(16, int(cfg.band_frac * med))
+    band = max(15, int(cfg.band_frac * med))  # 15 => bit-parallel eligible
     band = min(band, 192)
     B = ((n * n + 127) // 128) * 128
     q = np.full((B, Lq), 4, np.uint8)

@@ -110,6 +110,12 @@ def banded_align_auto(q, q_len, t, t_len, offset, band: int = 16,
     if not _on_tpu():
         return banded_align(q, q_len, t, t_len, offset, band=band,
                             sub_cost=sub_cost, gap_cost=gap_cost)
+    if sub_cost == 1 and gap_cost == 1 and band <= 15:
+        # unit-cost narrow band: the bit-parallel Myers kernel computes 32
+        # band cells per word op (~8x the general int kernel's Gcells/s)
+        from allpathslg_tpu.ops.pallas import banded_bp
+        return banded_bp.banded_align_bp(q, q_len, t, t_len, offset,
+                                         band=band)
     from allpathslg_tpu.ops.pallas import banded_pallas
     Bp = ((B + 127) // 128) * 128
     if Bp != B:

@@ -115,32 +115,38 @@ def main():
     try:
         if cpu_fallback:
             raise RuntimeError("cpu fallback: skipping Pallas kernel bench")
-        from allpathslg_tpu.ops.pallas import banded_pallas
-        B, Lq, Lt, W = 16384, 100, 140, 16
+        from allpathslg_tpu.ops.pallas import banded_bp, banded_pallas
+        B, Lq, Lt, W = 16384, 100, 140, 15
         q = jnp.asarray(rng.integers(0, 4, (B, Lq)).astype(np.uint8))
         t = jnp.asarray(rng.integers(0, 4, (B, Lt)).astype(np.uint8))
         ql = jnp.full((B,), Lq, jnp.int32)
         tl = jnp.full((B,), Lt, jnp.int32)
         off = jnp.asarray(rng.integers(-4, 5, B).astype(np.int32))
 
-        @jax.jit
-        def many_dp(q, ql, t, tl, off):
-            def body(i, tot):
-                # (i % 3) - 1 keeps the body loop-VARYING so XLA cannot
-                # hoist the kernel out of the fori_loop (a prior `tot & 0`
-                # formulation constant-folded and over-reported ~27%).
-                c, e = banded_pallas.banded_align_pallas(
-                    q, ql, t, tl, off + (i % 3) - 1, band=W)
-                return tot + c.sum() + e.sum()
-            return lax.fori_loop(0, REP, body, jnp.int32(0))
+        def sustain_dp(name, align_fn):
+            @jax.jit
+            def many_dp(q, ql, t, tl, off):
+                def body(i, tot):
+                    # (i % 3) - 1 keeps the body loop-VARYING so XLA cannot
+                    # hoist the kernel out of the fori_loop (a prior `tot&0`
+                    # formulation constant-folded, over-reporting ~27%).
+                    c, e = align_fn(q, ql, t, tl, off + (i % 3) - 1, band=W)
+                    return tot + c.sum() + e.sum()
+                return lax.fori_loop(0, REP, body, jnp.int32(0))
 
-        int(many_dp(q, ql, t, tl, off))
-        t0 = time.perf_counter()
-        int(many_dp(q, ql, t, tl, off))
-        ddt = (time.perf_counter() - t0) / REP
-        cells = B * Lq * (2 * W + 1)
-        log(f"banded-DP: {ddt*1e3:.1f} ms/batch, {cells/ddt/1e9:.2f} Gcells/s, "
-            f"{B/ddt/1e6:.2f} M alignments/s")
+            int(many_dp(q, ql, t, tl, off))
+            t0 = time.perf_counter()
+            int(many_dp(q, ql, t, tl, off))
+            ddt = (time.perf_counter() - t0) / REP
+            cells = B * Lq * (2 * W + 1)
+            log(f"banded-DP {name}: {ddt*1e3:.1f} ms/batch, "
+                f"{cells/ddt/1e9:.2f} Gcells/s, "
+                f"{B/ddt/1e6:.2f} M alignments/s")
+
+        # bit-parallel kernel = the product path for unit-cost narrow bands
+        # (asm/patch, polish, assisted); general int kernel for wide bands
+        sustain_dp("bit-parallel", banded_bp.banded_align_bp)
+        sustain_dp("general", banded_pallas.banded_align_pallas)
     except Exception as e:
         log(f"banded-DP bench skipped: {e}")
 
