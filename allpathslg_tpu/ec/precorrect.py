@@ -234,15 +234,11 @@ def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
     from allpathslg_tpu.kmer import count as kcount
 
     n, L = codes.shape
-    parts = []
+    sc = kcount.StreamingCounter()
     for s in range(0, n, batch_size):
         cb, qb = _pad_slice(codes, quals, s, batch_size)
-        t = kcount.trim_to_host(precorrect_stats_batch(
-            jnp.asarray(cb), jnp.asarray(qb)))
-        parts.append((np.stack([np.asarray(w) for w in t.words]),
-                      np.asarray(t.counts), None))
-    merged = kcount._merge_host_parts(parts, min_count=2, min_qsum=0)
-    merged = kcount.trim_to_host(merged)
+        sc.add(precorrect_stats_batch(jnp.asarray(cb), jnp.asarray(qb)))
+    merged = kcount.trim_to_host(sc.finish(min_count=2))
     tw = [jnp.asarray(np.asarray(w)) for w in merged.words]
     tc = jnp.asarray(np.asarray(merged.counts))
 

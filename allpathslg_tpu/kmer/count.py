@@ -313,6 +313,65 @@ def _quantize_capacity(n: int, floor: int = 1 << 20) -> int:
     return max(floor, 1 << max(int(n) - 1, 1).bit_length())
 
 
+class StreamingCounter:
+    """Generic device-resident streaming aggregator of CountedKmers parts
+    (any word width — kmer keys, (context, base) stack keys, ...).
+
+    add() folds every `merge_group` tables into a quantized device
+    accumulator (one scalar sync per fold, no per-batch host transfers);
+    beyond `acc_budget_bytes` the accumulator spills to host and finish()
+    completes with the range-partitioned multi-pass merge. Mirrors the
+    regimes of count_reads_streaming (ref: KmerParcelsBuilder multi-pass)."""
+
+    def __init__(self, merge_group: int = 8,
+                 acc_budget_bytes: int = 2 << 30):
+        self.merge_group = merge_group
+        self.acc_budget = acc_budget_bytes
+        self.acc: Optional[CountedKmers] = None
+        self.group: List[CountedKmers] = []
+        self.spilled = []
+
+    def add(self, part: CountedKmers):
+        self.group.append(part)
+        if len(self.group) >= self.merge_group:
+            self._fold()
+
+    def _n_arrays(self, ck: CountedKmers) -> int:
+        return len(ck.words) + 1 + (1 if ck.qsum is not None else 0)
+
+    def _fold(self):
+        if not self.group:
+            return
+        tabs = ([self.acc] if self.acc is not None else []) + self.group
+        self.group = []
+        merged = _concat_recount(tabs)
+        nu = int(merged.n_unique)
+        cap = _quantize_capacity(nu)
+        self.acc = _slice_table(merged, cap)
+        if cap * self._n_arrays(self.acc) * 4 > self.acc_budget:
+            t = trim_to_host(self.acc)
+            self.spilled.append(
+                (np.stack([np.asarray(w) for w in t.words]),
+                 np.asarray(t.counts),
+                 None if t.qsum is None else np.asarray(t.qsum)))
+            self.acc = None
+
+    def finish(self, min_count: int = 0, min_qsum: int = 0) -> CountedKmers:
+        self._fold()
+        if self.spilled:
+            if self.acc is not None:
+                t = trim_to_host(self.acc)
+                self.spilled.append(
+                    (np.stack([np.asarray(w) for w in t.words]),
+                     np.asarray(t.counts),
+                     None if t.qsum is None else np.asarray(t.qsum)))
+                self.acc = None
+            return _merge_host_parts(self.spilled, min_count, min_qsum)
+        if self.acc is None:
+            raise ValueError("finish() before any add()")
+        return _filter_counted(self.acc, min_count, min_qsum)
+
+
 @jax.jit
 def _concat_recount(tabs: List[CountedKmers]) -> CountedKmers:
     """Concatenate compact tables and re-aggregate on device."""
