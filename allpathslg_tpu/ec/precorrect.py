@@ -238,9 +238,10 @@ def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
     for s in range(0, n, batch_size):
         cb, qb = _pad_slice(codes, quals, s, batch_size)
         sc.add(precorrect_stats_batch(jnp.asarray(cb), jnp.asarray(qb)))
-    merged = kcount.trim_to_host(sc.finish(min_count=2))
-    tw = [jnp.asarray(np.asarray(w)) for w in merged.words]
-    tc = jnp.asarray(np.asarray(merged.counts))
+    # table stays DEVICE-resident, padded to a quantized capacity so the
+    # apply pass compiles once per size bucket (sentinel rows never match)
+    merged = kcount.pad_table_quantized(sc.finish(min_count=2))
+    tw, tc = list(merged.words), merged.counts
 
     out = np.empty_like(codes)
     total = 0

@@ -548,6 +548,26 @@ def _count_reads_device_resident(codes, K: int, quals, batch_size: int
     return recount_table(words, counts, qsum)
 
 
+def pad_table_quantized(ck: CountedKmers, floor: int = 1 << 20
+                        ) -> CountedKmers:
+    """Pad a compact table to the next power-of-two capacity (sentinel
+    keys, zero counts): callers that jit over the table then compile once
+    per size bucket instead of once per exact row count."""
+    n = ck.counts.shape[0]
+    cap = _quantize_capacity(n, floor)
+    if cap == n:
+        return ck
+    pad = cap - n
+    sent = jnp.uint32(0xFFFFFFFF)
+    return CountedKmers(
+        words=[jnp.concatenate([w, jnp.full(pad, sent, jnp.uint32)])
+               for w in ck.words],
+        counts=jnp.concatenate([ck.counts, jnp.zeros(pad, ck.counts.dtype)]),
+        qsum=None if ck.qsum is None else
+        jnp.concatenate([ck.qsum, jnp.zeros(pad, ck.qsum.dtype)]),
+        n_unique=ck.n_unique)
+
+
 def trim_to_host(ck: CountedKmers) -> CountedKmers:
     """Host-side: slice the padded table down to its true size."""
     n = int(ck.n_unique)
