@@ -47,7 +47,9 @@ class AssistConfig:
     min_patch_count: int = 2     # read kmer count considered support
     max_patch_len: int = 5_000
     flank: int = 100             # junction refinement window
-    band: int = 15  # <= 15 keeps the bit-parallel kernel eligible
+    band: int = 16  # full search window; band>15 routes to the general
+    # Pallas kernel (banded_align_auto) rather than narrowing the window
+    # to qualify for the bit-parallel kernel (ADVICE r2)
     max_flank_cost_frac: float = 0.25  # DP cost vs flank len to trust junction
 
 

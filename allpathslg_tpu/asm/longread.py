@@ -125,7 +125,8 @@ def consensus_patch(segs: List[np.ndarray], cfg: LongReadConfig
 
     n = len(keep)
     Lq = max(max(len(s) for s in keep), 8)
-    band = max(15, int(cfg.band_frac * med))  # 15 => bit-parallel eligible
+    band = max(16, int(cfg.band_frac * med))  # r1 floor restored (ADVICE r2:
+    # do not narrow the search window just to hit the bit-parallel kernel)
     band = min(band, 192)
     B = ((n * n + 127) // 128) * 128
     q = np.full((B, Lq), 4, np.uint8)

@@ -240,7 +240,12 @@ def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
         sc.add(precorrect_stats_batch(jnp.asarray(cb), jnp.asarray(qb)))
     # table stays DEVICE-resident, padded to a quantized capacity so the
     # apply pass compiles once per size bucket (sentinel rows never match)
-    merged = kcount.pad_table_quantized(sc.finish(min_count=2))
+    # count-1 rows are droppable only when min_winner >= 2 (a count-1 row
+    # can neither win a vote nor be a >=2 protected minority); with
+    # min_winner == 1 they must be kept or semantics diverge from the
+    # single-batch path (ADVICE r2).
+    merged = kcount.pad_table_quantized(
+        sc.finish(min_count=min(2, cfg.min_winner)))
     tw, tc = list(merged.words), merged.counts
 
     out = np.empty_like(codes)

@@ -31,17 +31,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _probe_device(timeout_s=240):
+def _probe_device(timeout_s=None):
     """The axon tunnel can wedge if a prior client was SIGKILLed mid-claim;
     probe in a SUBPROCESS with a bounded wait (an in-process probe thread
-    would race this process's own jax import for the device claim)."""
+    would race this process's own jax import for the device claim).
+    Claim latency varies 30-250s day to day, so the bound is generous and
+    env-tunable (APLG_PROBE_TIMEOUT)."""
+    import os
     import subprocess
 
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("APLG_PROBE_TIMEOUT", "480"))
     code = ("import jax, jax.numpy as jnp; "
             "assert int(jnp.arange(8).sum()) == 28")
+    t0 = time.perf_counter()
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, timeout=timeout_s)
+        log(f"device probe: rc={r.returncode} in {time.perf_counter()-t0:.0f}s")
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
