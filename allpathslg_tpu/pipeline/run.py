@@ -51,8 +51,14 @@ def _log_factory(rd: RunDir):
 def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
                        error_rate: float, read_len: int, seed: int, log,
                        jump_coverage: float = 0.0, jump_insert: int = 3000,
-                       jump_sd: int = 300, pacbio_coverage: float = 0.0):
-    """PrepareAllPathsInputs analog for simulated data; also stores truth."""
+                       jump_sd: int = 300, pacbio_coverage: float = 0.0,
+                       jump_libs=None):
+    """PrepareAllPathsInputs analog for simulated data; also stores truth.
+
+    `jump_libs` is an optional list of (insert, sd, coverage) tuples for
+    multi-library jump simulation (ref: the reference's standard recipe of
+    a ~3 kb jump plus optional 6-10 kb long jumps, PairsManager per-lib
+    stats); it supersedes the single jump_coverage/insert/sd knobs."""
     from allpathslg_tpu.eval import sim
 
     genome = sim.random_genome(genome_size, seed=seed)
@@ -66,20 +72,42 @@ def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
                    pairs=np.asarray(pairs.pairs))
     rd.save_arrays("genome_truth", genome=genome)
     log(f"[prepare] simulated genome={genome_size} reads={batch.n_reads}")
-    if jump_coverage > 0:
-        jb, jp, jt = sim.simulate_paired_reads(
-            genome, coverage=jump_coverage, read_len=read_len,
-            error_rate=error_rate, insert_mean=jump_insert,
-            insert_sd=jump_sd, outward=True, seed=seed + 2)
+    if jump_libs is None and jump_coverage > 0:
+        jump_libs = [(jump_insert, jump_sd, jump_coverage)]
+    if jump_libs:
+        parts = []
+        for li, (ins, sd, cov) in enumerate(jump_libs):
+            jb, jp, jt = sim.simulate_paired_reads(
+                genome, coverage=cov, read_len=read_len,
+                error_rate=error_rate, insert_mean=ins,
+                insert_sd=sd, outward=True, seed=seed + 2 + 31 * li)
+            parts.append((jb, jp))
+            log(f"[prepare] simulated jump lib {li} reads={jb.n_reads} "
+                f"insert={ins}±{sd}")
+        n_at = 0
+        codes, lens, quals, prs, libids = [], [], [], [], []
+        lmax = max(p[0].codes.shape[1] for p in parts)
+        for li, (jb, jp) in enumerate(parts):
+            c = np.asarray(jb.codes)
+            q = np.asarray(jb.quals)
+            if c.shape[1] < lmax:
+                c = np.pad(c, ((0, 0), (0, lmax - c.shape[1])),
+                           constant_values=4)
+                q = np.pad(q, ((0, 0), (0, lmax - q.shape[1])))
+            codes.append(c)
+            quals.append(q)
+            lens.append(np.asarray(jb.lengths))
+            prs.append(np.asarray(jp.pairs) + n_at)
+            libids.append(np.full(len(jp.pairs), li, np.int32))
+            n_at += jb.n_reads
         rd.save_arrays("jump_reads_orig",
-                       codes=np.asarray(jb.codes),
-                       lengths=np.asarray(jb.lengths),
-                       quals=np.asarray(jb.quals),
-                       pairs=np.asarray(jp.pairs),
-                       lib_sep=np.array([jump_insert], np.int32),
-                       lib_sd=np.array([jump_sd], np.int32))
-        log(f"[prepare] simulated jump lib reads={jb.n_reads} "
-            f"insert={jump_insert}±{jump_sd}")
+                       codes=np.concatenate(codes),
+                       lengths=np.concatenate(lens),
+                       quals=np.concatenate(quals),
+                       pairs=np.concatenate(prs),
+                       lib_id=np.concatenate(libids),
+                       lib_sep=np.array([l[0] for l in jump_libs], np.int32),
+                       lib_sd=np.array([l[1] for l in jump_libs], np.int32))
     if pacbio_coverage > 0:
         lr, _, _ = sim.simulate_long_reads(genome, coverage=pacbio_coverage,
                                            seed=seed + 3)
@@ -132,6 +160,9 @@ def main(argv=None):
     ap.add_argument("--jump-coverage", type=float, default=0.0)
     ap.add_argument("--jump-insert", type=int, default=3000)
     ap.add_argument("--jump-sd", type=int, default=300)
+    ap.add_argument("--jump-libs", default="",
+                    help="multi-library jump spec 'ins:sd:cov,ins:sd:cov,...'"
+                         " (e.g. 3000:300:50,10000:1000:10)")
     ap.add_argument("--pacbio-coverage", type=float, default=0.0)
     ap.add_argument("--k", type=int, default=96)
     ap.add_argument("overrides", nargs="*", help="KEY=VALUE config overrides")
@@ -153,12 +184,18 @@ def main(argv=None):
 
     if not rd.has("frag_reads_orig"):
         if args.sim_genome:
+            jlibs = None
+            if args.jump_libs:
+                jlibs = [tuple(float(x) if i == 2 else int(x)
+                               for i, x in enumerate(spec.split(":")))
+                         for spec in args.jump_libs.split(",")]
             prepare_sim_inputs(rd, args.sim_genome, args.coverage,
                                args.error_rate, args.read_len, args.seed, log,
                                jump_coverage=args.jump_coverage,
                                jump_insert=args.jump_insert,
                                jump_sd=args.jump_sd,
-                               pacbio_coverage=args.pacbio_coverage)
+                               pacbio_coverage=args.pacbio_coverage,
+                               jump_libs=jlibs)
         elif args.in_libs and args.in_groups:
             from allpathslg_tpu.pipeline.prepare import prepare_inputs
             prepare_inputs(rd, args.in_libs, args.in_groups,

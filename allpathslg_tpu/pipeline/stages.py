@@ -460,6 +460,8 @@ class Pipeline:
                 a["codes"], a["quals"], a["lengths"], a["pairs"], table)
             rd.save_arrays("jump_reads_ec", codes=c, quals=q, lengths=l,
                            pairs=a["pairs"], pair_ok=pair_ok,
+                           lib_id=a.get("lib_id",
+                                        np.zeros(len(a["pairs"]), np.int32)),
                            lib_sep=a.get("lib_sep", np.array([3000])),
                            lib_sd=a.get("lib_sd", np.array([300])))
             return m
@@ -494,25 +496,41 @@ class Pipeline:
                 c, d, o, mm, ok = alook.align_reads(
                     index, codes[s:e], lens[s:e], acfg, u["bases"])
                 C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
-            # estimate the true insert distribution from same-contig pairs
-            # (ref: SamplePairedReadStats → IntDistribution per library);
-            # persist the .distribs-equivalent artifact for RemodelGaps' MLE
+            # estimate the true insert distribution PER LIBRARY from
+            # same-contig pairs (ref: SamplePairedReadStats →
+            # IntDistribution per library); persist the .distribs-equivalent
+            # artifact (one lo_i/pmf_i pair per lib) for RemodelGaps' MLE
             from allpathslg_tpu.eval import accuracy as eacc
             from allpathslg_tpu.utils.intdist import IntDistribution
-            imean, isd, hist = eacc.estimate_insert_stats(
-                C[:n_real], D[:n_real], O[:n_real], OK[:n_real],
-                j["lengths"], j["pairs"])
-            if len(hist):
-                dist = IntDistribution.from_histogram(hist)
-                rd.save_arrays("jump_distribs", **dist.to_arrays())
+            lib_id = np.asarray(j.get("lib_id",
+                                      np.zeros(len(j["pairs"]), np.int32)))
+            n_libs = int(lib_id.max()) + 1 if len(lib_id) else 1
+            dist_arrays = {"n_libs": np.array([n_libs])}
+            means, sds = [], []
+            hist0 = np.zeros(0, np.int64)
+            for li in range(n_libs):
+                sel = j["pairs"][lib_id == li]
+                imean, isd, hist = eacc.estimate_insert_stats(
+                    C[:n_real], D[:n_real], O[:n_real], OK[:n_real],
+                    j["lengths"], sel)
+                means.append(round(imean, 1))
+                sds.append(round(isd, 1))
+                if len(hist):
+                    d = IntDistribution.from_histogram(hist).to_arrays()
+                    dist_arrays[f"lo_{li}"] = d["lo"]
+                    dist_arrays[f"pmf_{li}"] = d["pmf"]
+                if li == 0:
+                    hist0 = hist
+            if len(dist_arrays) > 1:
+                rd.save_arrays("jump_distribs", **dist_arrays)
             rd.save_arrays("jump_alignlets", contig=C[:n_real],
                            anchor=D[:n_real], is_rc=O[:n_real],
                            mismatches=MM[:n_real], aligned=OK[:n_real],
-                           insert_hist=hist)
+                           insert_hist=hist0)
             return {"n_aligned": int(OK[:n_real].sum()),
                     "align_rate": round(float(OK[:n_real].mean()), 3),
-                    "insert_mean_est": round(imean, 1),
-                    "insert_sd_est": round(isd, 1)}
+                    "insert_mean_est": means[0], "insert_sd_est": sds[0],
+                    "lib_insert_means": means, "lib_insert_sds": sds}
 
         return self.run_stage("align_jumps", ih, ["jump_alignlets.npz"], fn)
 
@@ -622,27 +640,48 @@ class Pipeline:
             else:
                 al = rd.load_arrays("jump_alignlets")
                 j = rd.load_arrays("jump_reads_ec")
-                insert = int(j["lib_sep"][0])
-                insert_sd = int(j["lib_sd"][0])
-                # prefer the data-estimated insert distribution when sane
+                lib_id = np.asarray(j.get("lib_id",
+                                          np.zeros(len(j["pairs"]), np.int32)))
+                inserts = np.asarray(j["lib_sep"], np.int64).copy()
+                insert_sds = np.asarray(j["lib_sd"], np.int64).copy()
+                # prefer the data-estimated per-library insert stats when sane
                 am = rd.metrics("align_jumps")
-                est = am.get("insert_mean_est", 0)
-                if est and 0.5 * insert < est < 2 * insert:
-                    insert = int(est)
-                    insert_sd = max(int(am.get("insert_sd_est", insert_sd)), 5)
+                ests = am.get("lib_insert_means",
+                              [am.get("insert_mean_est", 0)])
+                est_sds = am.get("lib_insert_sds",
+                                 [am.get("insert_sd_est", 0)])
+                for li in range(min(len(inserts), len(ests))):
+                    if ests[li] and 0.5 * inserts[li] < ests[li] \
+                            < 2 * inserts[li]:
+                        inserts[li] = int(ests[li])
+                        insert_sds[li] = max(int(est_sds[li]), 5)
+                insert = int(inserts[0])
+                insert_sd = int(insert_sds[0])
                 lg = slinks.pair_links(al["contig"], al["anchor"], al["is_rc"],
                                        al["aligned"], j["lengths"], j["pairs"],
-                                       clens, insert, insert_sd)
+                                       clens, inserts, insert_sds,
+                                       lib_ids=lib_id)
                 scaffolds, n_broken = scaffolder.make_scaffolds_iterative(
                     lg, len(clens), clens)
-                # RemodelGaps: MLE against the empirical insert distribution
-                # when the .distribs artifact exists (ref: RemodelGaps.cc)
-                dist = None
+                # RemodelGaps: MLE against the per-library empirical insert
+                # distributions when the .distribs artifact exists
+                # (ref: RemodelGaps.cc)
+                dists = None
                 if rd.has("jump_distribs"):
                     from allpathslg_tpu.utils.intdist import IntDistribution
-                    dist = IntDistribution.from_arrays(
-                        rd.load_arrays("jump_distribs"))
-                scaffolds = scaffolder.remodel_gaps(scaffolds, lg, dist)
+                    da = rd.load_arrays("jump_distribs")
+                    if "n_libs" in da:
+                        dists = []
+                        for li in range(int(da["n_libs"][0])):
+                            if f"lo_{li}" in da:
+                                dists.append(IntDistribution.from_arrays(
+                                    {"lo": da[f"lo_{li}"],
+                                     "pmf": da[f"pmf_{li}"]}))
+                            else:
+                                dists.append(None)
+                    else:  # legacy single-lib artifact
+                        dists = [IntDistribution.from_arrays(da)]
+                scaffolds = scaffolder.remodel_gaps(scaffolds, lg, dists)
                 # circularity tags (ref: TagCircularScaffolds)
                 from allpathslg_tpu.scaffold import circular as scirc
                 wraps = slinks.wrap_pair_counts(

@@ -72,7 +72,10 @@ class LinkGraph:
 
     span_off/span_val (optional) keep the raw per-pair within-contig spans
     d_i per edge (CSR), so RemodelGaps can run the IntDistribution MLE
-    (insert_i = d_i + gap; ref: src/paths/RemodelGaps.cc)."""
+    (insert_i = d_i + gap; ref: src/paths/RemodelGaps.cc). span_lib (CSR
+    parallel to span_val) records each span's library so the MLE uses that
+    library's own insert distribution (ref: src/PairsManager.h per-library
+    stats; multi-library scaffolding)."""
     a: np.ndarray          # int32 [E]
     b: np.ndarray          # int32 [E]
     oa: np.ndarray         # bool  [E]
@@ -82,6 +85,7 @@ class LinkGraph:
     gap_sd: np.ndarray     # float [E]
     span_off: np.ndarray = None   # int64 [E+1] CSR offsets (optional)
     span_val: np.ndarray = None   # int64 [T] within-contig spans (optional)
+    span_lib: np.ndarray = None   # int32 [T] library id per span (optional)
 
     @property
     def n_edges(self) -> int:
@@ -92,22 +96,43 @@ class LinkGraph:
             return np.zeros(0, np.int64)
         return self.span_val[self.span_off[ei]:self.span_off[ei + 1]]
 
+    def span_libs(self, ei: int) -> np.ndarray:
+        if self.span_off is None or self.span_lib is None:
+            return np.zeros(0, np.int32)
+        return self.span_lib[self.span_off[ei]:self.span_off[ei + 1]]
+
 
 def pair_links(contig, anchor, is_rc, aligned, read_lens,
                pairs: np.ndarray, contig_lens: np.ndarray,
-               insert: int, insert_sd: int,
-               max_gap_dev: float = 5.0) -> LinkGraph:
-    """Aggregate jump-pair links into the oriented contig link graph."""
+               insert, insert_sd,
+               max_gap_dev: float = 5.0,
+               lib_ids: np.ndarray = None) -> LinkGraph:
+    """Aggregate jump-pair links into the oriented contig link graph.
+
+    `insert`/`insert_sd` are scalars for a single library, or per-LIBRARY
+    arrays combined with `lib_ids` (int [P], one library id per pair) for
+    multi-library runs — each pair's implied gap then uses its own
+    library's insert (ref: src/PairsManager.h per-lib insert stats feeding
+    MakeScaffolds link separations)."""
     contig = np.asarray(contig)
     anchor = np.asarray(anchor)
     is_rc = np.asarray(is_rc)
     aligned = np.asarray(aligned)
     clens = np.asarray(contig_lens).astype(np.int64)
 
+    insert_arr = np.atleast_1d(np.asarray(insert, np.int64))
+    sd_arr = np.atleast_1d(np.asarray(insert_sd, np.int64))
+    if lib_ids is None:
+        lib_ids = np.zeros(len(pairs), np.int32)
+    lib_ids = np.asarray(lib_ids, np.int64)
+
     r1 = pairs[:, 0]
     r2 = pairs[:, 1]
     ok = aligned[r1] & aligned[r2] & (contig[r1] != contig[r2])
     r1, r2 = r1[ok], r2[ok]
+    lib = lib_ids[ok]
+    p_ins = insert_arr[np.minimum(lib, len(insert_arr) - 1)]
+    p_sd = sd_arr[np.minimum(lib, len(sd_arr) - 1)]
     A, B = contig[r1], contig[r2]
     o1, o2 = is_rc[r1], is_rc[r2]
     a1, a2 = anchor[r1].astype(np.int64), anchor[r2].astype(np.int64)
@@ -118,12 +143,14 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
     s1p = np.where(o1, La - 1 - a1, a1)
     t2 = np.where(o2, a2, Lb - 1 - a2)
     span = (La - s1p) + t2 + 1   # within-contig part of the insert
-    gap = insert - span
+    gap = p_ins - span
 
     # drop absurd implied gaps (mates far inside huge contigs w/ wrong orient)
-    sane = (gap > -insert) & (gap < 2 * insert)
+    sane = (gap > -p_ins) & (gap < 2 * p_ins)
     A, B, oa, ob, gap = A[sane], B[sane], oa[sane], ob[sane], gap[sane]
     span = span[sane]
+    lib = lib[sane]
+    p_sd = p_sd[sane]
 
     # canonicalize: smaller contig id first (reverse edge = flip both flags
     # and swap)
@@ -139,11 +166,14 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
     key_s = key[order]
     gap_s = gap[order].astype(np.float64)
     span_s = span[order].astype(np.int64)
+    lib_s = lib[order].astype(np.int32)
+    sd_s = p_sd[order].astype(np.float64)
     if len(key_s) == 0:
         z = np.zeros(0)
         return LinkGraph(z.astype(np.int32), z.astype(np.int32),
                          z.astype(bool), z.astype(bool), z.astype(np.int32),
-                         z, z, np.zeros(1, np.int64), np.zeros(0, np.int64))
+                         z, z, np.zeros(1, np.int64), np.zeros(0, np.int64),
+                         np.zeros(0, np.int32))
     starts = np.ones(len(key_s), bool)
     starts[1:] = key_s[1:] != key_s[:-1]
     seg = np.cumsum(starts) - 1
@@ -153,8 +183,10 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
     g2 = np.bincount(seg, weights=gap_s ** 2, minlength=n_seg)
     mean = gsum / np.maximum(cnt, 1)
     var = g2 / np.maximum(cnt, 1) - mean ** 2
-    sd = np.where(cnt > 1, np.sqrt(np.maximum(var, 1.0)),
-                  float(insert_sd))
+    # single-pair edges fall back to the pair's own library sd
+    sd_lib = np.bincount(seg, weights=sd_s, minlength=n_seg) \
+        / np.maximum(cnt, 1)
+    sd = np.where(cnt > 1, np.sqrt(np.maximum(var, 1.0)), sd_lib)
 
     ks = key_s[starts]
     span_off = np.zeros(n_seg + 1, np.int64)
@@ -169,4 +201,5 @@ def pair_links(contig, anchor, is_rc, aligned, read_lens,
         gap_sd=sd / np.sqrt(np.maximum(cnt, 1)),
         span_off=span_off,
         span_val=span_s,
+        span_lib=lib_s,
     )

@@ -327,8 +327,14 @@ def remodel_gaps(scaffolds: List[Superb], lg: LinkGraph,
     """Re-estimate junction gaps from their spanning pairs (ref:
     src/paths/RemodelGaps.cc). With an empirical per-library insert
     IntDistribution, each junction's gap is the maximum-likelihood value of
-    sum_i log pmf(d_i + g) over its raw spans; without one (or without raw
-    spans) it falls back to the inverse-variance mean."""
+    sum_i log pmf_{lib(i)}(d_i + g) over its raw spans; without one (or
+    without raw spans) it falls back to the inverse-variance mean.
+
+    `dist` is one IntDistribution (single library) or a list indexed by
+    library id (multi-library: each span scored against its own library's
+    distribution, ref: per-lib .distribs in SamplePairedReadDistributions)."""
+    dists = dist if isinstance(dist, (list, tuple)) else (
+        None if dist is None else [dist])
     # index edges by canonical (a, b, oa, ob)
     emap = {}
     for i in range(lg.n_edges):
@@ -350,12 +356,27 @@ def remodel_gaps(scaffolds: List[Superb], lg: LinkGraph,
             sem = float(lg.gap_sd[i])
             n = int(lg.n_pairs[i])
             spans = lg.spans(i)
-            if dist is not None and len(spans) >= 2:
+            if dists is not None and len(spans) >= 2:
                 sample_sd = max(sem * np.sqrt(max(n, 1)), 1.0)
                 lo = int(g - 4 * sample_sd - 20)
                 hi = int(g + 4 * sample_sd + 20)
-                g_mle, ll = dist.mle_gap(spans, lo, hi)
-                if np.isfinite(ll):
+                libs = lg.span_libs(i)
+                if len(libs) != len(spans):
+                    libs = np.zeros(len(spans), np.int32)
+                # sum per-library log-likelihood grids over the same gap
+                # range; a lib id without a distribution contributes nothing
+                ll_total = None
+                g_mle = g
+                for li in np.unique(libs):
+                    d = dists[li] if li < len(dists) else None
+                    if d is None:
+                        continue
+                    gs_mle, llg = d.mle_grid(spans[libs == li], lo, hi)
+                    if llg is None:
+                        continue
+                    ll_total = llg if ll_total is None else ll_total + llg
+                if ll_total is not None and np.isfinite(ll_total).any():
+                    g_mle = lo + int(np.argmax(ll_total))
                     g = float(g_mle)
                     # Fisher-information-style dev: the MLE's curvature is
                     # unavailable cheaply; keep the SEM, floored

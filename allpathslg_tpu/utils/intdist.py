@@ -76,6 +76,22 @@ class IntDistribution:
         i = int(np.argmax(ll))
         return int(gs[i]), float(ll[i])
 
+    def mle_grid(self, spans: np.ndarray, gap_lo: int, gap_hi: int,
+                 max_samples: int = 512):
+        """Like mle_gap but returns (best_gap, full log-likelihood grid
+        over [gap_lo, gap_hi]) so multi-library junctions can sum grids
+        across libraries before taking the argmax. Returns (gap_lo, None)
+        when there is nothing to score."""
+        spans = np.asarray(spans).astype(np.int64)
+        if len(spans) > max_samples:
+            spans = spans[np.linspace(0, len(spans) - 1,
+                                      max_samples).astype(np.int64)]
+        if len(spans) == 0 or gap_hi < gap_lo:
+            return int(gap_lo), None
+        gs = np.arange(gap_lo, gap_hi + 1, dtype=np.int64)
+        ll = self.logpmf(spans[None, :] + gs[:, None]).sum(axis=1)
+        return int(gs[int(np.argmax(ll))]), ll
+
     @staticmethod
     def from_histogram(hist: np.ndarray, smooth: float = 0.5
                        ) -> "IntDistribution":
