@@ -27,7 +27,6 @@ graph/cleanup.py (the MergeNeighborhoods analog).
 from __future__ import annotations
 
 import dataclasses
-from collections import defaultdict
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -72,48 +71,69 @@ def filter_unsupported_edges(g: UniGraph, support: np.ndarray,
                              cfg: LocalizeConfig) -> Tuple[UniGraph, int]:
     """Drop adjacency edges no read crosses — but never disconnect a node:
     an unsupported edge is kept if it is the only out-edge of its source
-    orientation or the only in-edge of its target orientation."""
+    orientation or the only in-edge of its target orientation.
+
+    Vectorized greedy (VERDICT r2 Next #7): each round recomputes oriented
+    degrees by bincount over factorized endpoint keys and drops, per
+    out-group and in-group, at most one candidate (its minimum-index one),
+    so no group is ever emptied. Rounds repeat until fixpoint — bounded by
+    the max candidate count within any group (node degree), with every
+    round a handful of O(E) array passes instead of per-edge Python."""
     E = len(g.a)
     if E == 0:
         return g, 0
-    out_cnt: Dict[Tuple[int, bool], int] = defaultdict(int)
-    in_cnt: Dict[Tuple[int, bool], int] = defaultdict(int)
-    for i in range(E):
-        out_cnt[(int(g.a[i]), bool(g.fa[i]))] += 1
-        in_cnt[(int(g.b[i]), bool(g.fb[i]))] += 1
-    drop = np.zeros(E, bool)
-    for i in range(E):
-        if support[i] >= cfg.min_edge_support:
-            continue
-        if out_cnt[(int(g.a[i]), bool(g.fa[i]))] <= 1:
-            continue
-        if in_cnt[(int(g.b[i]), bool(g.fb[i]))] <= 1:
-            continue
-        drop[i] = True
-        out_cnt[(int(g.a[i]), bool(g.fa[i]))] -= 1
-        in_cnt[(int(g.b[i]), bool(g.fb[i]))] -= 1
-    keep = ~drop
-    return UniGraph(g.a[keep], g.fa[keep], g.b[keep], g.fb[keep]), int(drop.sum())
+    ko = g.a.astype(np.int64) * 2 + g.fa
+    ki = g.b.astype(np.int64) * 2 + g.fb
+    uo, inv_o = np.unique(ko, return_inverse=True)
+    ui, inv_i = np.unique(ki, return_inverse=True)
+    keep = np.ones(E, bool)
+    unsup = np.asarray(support) < cfg.min_edge_support
+    idx = np.arange(E)
+    while True:
+        outdeg = np.bincount(inv_o[keep], minlength=len(uo))
+        indeg = np.bincount(inv_i[keep], minlength=len(ui))
+        cand = keep & unsup & (outdeg[inv_o] > 1) & (indeg[inv_i] > 1)
+        if not cand.any():
+            break
+        # one drop per group per round: the min-index candidate of both
+        # its out-group and its in-group
+        min_o = np.full(len(uo), E, np.int64)
+        min_i = np.full(len(ui), E, np.int64)
+        np.minimum.at(min_o, inv_o[cand], idx[cand])
+        np.minimum.at(min_i, inv_i[cand], idx[cand])
+        chosen = cand & (min_o[inv_o] == idx) & (min_i[inv_i] == idx)
+        if not chosen.any():
+            # every remaining candidate ties with a different group's
+            # minimum; break the deadlock by accepting out-group minima
+            # whose in-group still has a kept non-candidate edge
+            safe_in = indeg[inv_i] - np.bincount(
+                inv_i[cand], minlength=len(ui))[inv_i] >= 1
+            chosen = cand & (min_o[inv_o] == idx) & safe_in
+            if not chosen.any():
+                break
+        keep &= ~chosen
+    n_drop = int(E - keep.sum())
+    return UniGraph(g.a[keep], g.fa[keep], g.b[keep], g.fb[keep]), n_drop
 
 
 def _thread_counts(rp: ReadPaths):
     """Triples (prev, mid, next) with contiguous windows, keyed on the
     mid unipath; flags in UniGraph *flip* convention, mid normalized to
-    flip=False (forward)."""
+    flip=False (forward). Returns an int64 array [T, 6] of unique rows
+    (m, a, fa, b, fb, count) — fully vectorized."""
     off = rp.offsets
     T = len(rp.uid)
-    votes: Dict[Tuple, int] = defaultdict(int)
-    # vectorized triple extraction
+    empty = np.zeros((0, 6), np.int64)
     entry_read = np.repeat(np.arange(rp.n_reads), np.diff(off))
     if T < 3:
-        return votes
+        return empty
     i = np.arange(T - 2)
     same = (entry_read[i] == entry_read[i + 2])
     contig = (rp.leave[i] + 1 == rp.enter[i + 1]) & \
              (rp.leave[i + 1] + 1 == rp.enter[i + 2])
     idx = i[same & contig]
     if len(idx) == 0:
-        return votes
+        return empty
     # vectorized normalization (mid forced forward by rc'ing the triple)
     a, fa = rp.uid[idx], ~rp.fwd[idx]
     m, fm = rp.uid[idx + 1], ~rp.fwd[idx + 1]
@@ -126,10 +146,7 @@ def _thread_counts(rp: ReadPaths):
                      nfa.astype(np.int64), nb.astype(np.int64),
                      nfb.astype(np.int64)], axis=1)
     uniq, counts = np.unique(rows, axis=0, return_counts=True)
-    for row, c in zip(uniq, counts):
-        votes[(int(row[0]), int(row[1]), bool(row[2]),
-               int(row[3]), bool(row[4]))] = int(c)
-    return votes
+    return np.concatenate([uniq, counts[:, None]], axis=1)
 
 
 def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
@@ -144,113 +161,153 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     they stay contig breaks, as in the reference when insert walking fails).
     """
     votes = _thread_counts(rp)
-    # per-mid pair support
-    by_mid: Dict[int, Dict[Tuple, int]] = defaultdict(dict)
-    for (m, a, fa, b, fb), c in votes.items():
-        if c >= cfg.min_thread_support:
-            by_mid[m][(a, fa, b, fb)] = c
-
-    # adjacency keyed by oriented node (flip convention, rc-mirror closed);
-    # sets — the UniGraph edge list may already contain mirror rows
-    ins: Dict[Tuple[int, bool], set] = defaultdict(set)
-    outs: Dict[Tuple[int, bool], set] = defaultdict(set)
-
-    def add_edge(a, fa, b, fb):
-        outs[(a, fa)].add((b, fb))
-        ins[(b, fb)].add((a, fa))
-        outs[(b, not fb)].add((a, not fa))
-        ins[(a, not fa)].add((b, not fb))
-
-    edges = sorted({(int(a), bool(fa), int(b), bool(fb))
-                    for a, fa, b, fb in zip(g.a, g.fa, g.b, g.fb)})
-    for e in edges:
-        add_edge(*e)
-
-    # removal index over the ORIGINAL edge list (appended split edges are
-    # never removal candidates in the same round — split_touched guards
-    # them): oriented endpoint -> edge indices
-    by_src: Dict[Tuple[int, bool], List[int]] = defaultdict(list)
-    by_dst: Dict[Tuple[int, bool], List[int]] = defaultdict(list)
-    for i, (a, fa, b, fb) in enumerate(edges):
-        by_src[(a, fa)].append(i)
-        by_dst[(b, fb)].append(i)
-
+    votes = votes[votes[:, 5] >= cfg.min_thread_support]
     n = ups.n
-    seqs = [ups.bases[ups.offsets[i]:ups.offsets[i + 1]] for i in range(n)]
-    kcnt = list(ups.kmer_counts)
-    mcov = list(ups.mean_cov) if ups.mean_cov is not None else None
 
-    new_edges: List[Tuple[int, bool, int, bool]] = list(edges)
-    removed = set()
+    # deduped edge table (the UniGraph list may already hold mirror rows)
+    def _pack4(a, fa, b, fb):
+        return (np.asarray(a, np.int64) << 33) | \
+            (np.asarray(fa, np.int64) << 32) | \
+            (np.asarray(b, np.int64) << 1) | np.asarray(fb, np.int64)
+
+    ekey = np.unique(_pack4(g.a, g.fa, g.b, g.fb))
+    ea = (ekey >> 33).astype(np.int64)
+    efa = ((ekey >> 32) & 1).astype(bool)
+    eb = ((ekey >> 1) & ((1 << 31) - 1)).astype(np.int64)
+    efb = (ekey & 1).astype(bool)
+
+    # mirror-closed oriented adjacency, deduped: rows (src,fs,dst,fd)
+    akey = np.unique(np.concatenate([
+        _pack4(ea, efa, eb, efb), _pack4(eb, ~efb, ea, ~efa)]))
+    asrc = (akey >> 33)
+    afs = ((akey >> 32) & 1).astype(bool)
+    adst = ((akey >> 1) & ((1 << 31) - 1))
+    afd = (akey & 1).astype(bool)
+
+    # oriented degrees of every (node, False) mid form
+    okey = asrc * 2 + afs                  # out-edges keyed on source
+    ikey = adst * 2 + afd                  # in-edges keyed on target
+    outdeg = np.bincount(okey, minlength=2 * n)
+    indeg = np.bincount(ikey, minlength=2 * n)
+
+    # --- vectorized qualification of candidate mids -----------------------
+    M, A, FA, B, FB = (votes[:, 0], votes[:, 1], votes[:, 2].astype(bool),
+                       votes[:, 3], votes[:, 4].astype(bool))
+    akey_sorted = akey   # already sorted by np.unique
+    def _is_edge(a, fa, b, fb):
+        k = _pack4(a, fa, b, fb)
+        p = np.searchsorted(akey_sorted, k)
+        p = np.minimum(p, max(len(akey_sorted) - 1, 0))
+        return (len(akey_sorted) > 0) & (akey_sorted[p] == k)
+
+    pair_in_ok = _is_edge(A, FA, M, np.zeros(len(M), bool))
+    pair_out_ok = _is_edge(M, np.zeros(len(M), bool), B, FB)
+    row_ok = pair_in_ok & pair_out_ok & (A != M) & (B != M)
+
+    # per-mid aggregates over qualifying rows
+    npairs = np.bincount(M[row_ok], minlength=n)
+    # duplicate in/out usage inside a mid's pairs
+    in_rows = np.unique(np.stack([M[row_ok], A[row_ok],
+                                  FA[row_ok].astype(np.int64)], 1), axis=0)
+    out_rows = np.unique(np.stack([M[row_ok], B[row_ok],
+                                   FB[row_ok].astype(np.int64)], 1), axis=0)
+    n_in_used = np.bincount(in_rows[:, 0], minlength=n)
+    n_out_used = np.bincount(out_rows[:, 0], minlength=n)
+    bad_row_mid = np.unique(M[~row_ok]) if (~row_ok).any() else \
+        np.zeros(0, np.int64)
+    mids = np.arange(n)
+    mid_out = outdeg[mids * 2]
+    mid_in = indeg[mids * 2]
+    qual = (npairs >= 2) & (mid_in >= 2) & (mid_out >= 2) \
+        & (npairs == mid_in) & (npairs == mid_out) \
+        & (n_in_used == npairs) & (n_out_used == npairs) \
+        & (np.asarray(ups.kmer_counts)[:n] <= cfg.max_repeat_kmers)
+    qual[bad_row_mid] = False   # a vote row that is not a current edge or
+    # is a self-loop disqualifies its mid this round (evidence vs graph
+    # mismatch — same conservative outcome as the reference's walk failure)
+
+    cand_mids = np.flatnonzero(qual)
+    if len(cand_mids) == 0:
+        return ups, UniGraph(ea.astype(np.int32), efa,
+                             eb.astype(np.int32), efb), 0
+
+    # --- apply splits (small loop over qualifying mids only) --------------
+    order = np.argsort(M, kind="stable")
+    Ms = M[order]
+    grp_start = np.searchsorted(Ms, cand_mids, side="left")
+    grp_end = np.searchsorted(Ms, cand_mids, side="right")
+
+    new_edges: List[Tuple[int, bool, int, bool]] = []
+    split_mids: List[int] = []
+    split_touched = set()
+    kcnt = np.asarray(ups.kmer_counts)
+    mcov = ups.mean_cov
+    new_seq_src: List[int] = []       # source unipath id per appended copy
+    new_kcnt: List[int] = []
+    new_mcov: List[float] = []
+    next_id = n
     n_split = 0
-    split_touched = set()  # unipaths whose edges changed this round
-    for m, pairs in sorted(by_mid.items()):
-        if kcnt[m] > cfg.max_repeat_kmers:
+    for m, s, e in zip(cand_mids, grp_start, grp_end):
+        rows = order[s:e]
+        rows = rows[row_ok[order[s:e]]]
+        if int(m) in split_touched:
             continue
-        if m in split_touched or any(
-                a in split_touched or b in split_touched
-                for (a, fa, b, fb) in pairs):
+        nbrs = set(A[rows].tolist()) | set(B[rows].tolist())
+        if split_touched & nbrs:
             continue  # neighbor already rewired; retry next round
-        mfwd = (m, False)  # mid traversed forward (flip convention)
-        m_ins = ins[mfwd]
-        m_outs = outs[mfwd]
-        if len(m_ins) < 2 or len(m_outs) < 2:
-            continue
-        in_set = {(a, fa) for (a, fa, b, fb) in pairs}
-        out_set = {(b, fb) for (a, fa, b, fb) in pairs}
-        # perfect pairing: every in/out edge used exactly once
-        if len(pairs) != len(m_ins) or len(pairs) != len(m_outs):
-            continue
-        if in_set != m_ins or out_set != m_outs:
-            continue
-        if len(in_set) != len(pairs) or len(out_set) != len(pairs):
-            continue
-        # self-loop guard: m adjacent to itself
-        if any(a == m or b == m for (a, fa, b, fb) in pairs):
-            continue
-        # split: one copy per pair
-        for (a, fa, b, fb) in pairs:
-            cid = len(seqs)
-            seqs.append(seqs[m])
-            kcnt.append(kcnt[m])
+        for r in rows:
+            cid = next_id
+            next_id += 1
+            new_seq_src.append(int(m))
+            new_kcnt.append(int(kcnt[m]))
             if mcov is not None:
-                mcov.append(mcov[m] / max(len(pairs), 1))
-            new_edges.append((a, fa, cid, False))
-            new_edges.append((cid, False, b, fb))
-        # drop old edges touching m (either orientation form) — indexed
-        for i in by_dst.get(mfwd, ()):
-            if (edges[i][0], edges[i][1]) in m_ins:
-                removed.add(i)
-        for i in by_src.get(mfwd, ()):
-            if (edges[i][2], edges[i][3]) in m_outs:
-                removed.add(i)
-        # rc-mirrored forms: (x)->(m,True) mirrors (m,False)->(x^rc)
-        for i in by_src.get((m, True), ()):
-            if (edges[i][2], not edges[i][3]) in m_ins:
-                removed.add(i)
-        for i in by_dst.get((m, True), ()):
-            if (edges[i][0], not edges[i][1]) in m_outs:
-                removed.add(i)
-        split_touched.add(m)
-        for (a, fa, b, fb) in pairs:
-            split_touched.add(a)
-            split_touched.add(b)
+                new_mcov.append(float(mcov[m]) / max(len(rows), 1))
+            new_edges.append((int(A[r]), bool(FA[r]), cid, False))
+            new_edges.append((cid, False, int(B[r]), bool(FB[r])))
+        split_touched.add(int(m))
+        split_touched |= nbrs
+        split_mids.append(int(m))
         n_split += 1
 
-    kept = [e for i, e in enumerate(new_edges) if i not in removed]
-    offsets = np.zeros(len(seqs) + 1, np.int64)
-    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    if n_split == 0:
+        return ups, UniGraph(ea.astype(np.int32), efa,
+                             eb.astype(np.int32), efb), 0
+
+    # drop ALL edges incident to a split mid: perfect pairing means its
+    # in/out sets are exactly the threaded ones, and self-loops were
+    # excluded, so incidence == membership in the removed junction
+    smask = np.zeros(n, bool)
+    smask[split_mids] = True
+    keep = ~(smask[ea] | smask[eb])
+    ka = list(ea[keep]) + [t[0] for t in new_edges]
+    kfa = list(efa[keep]) + [t[1] for t in new_edges]
+    kb = list(eb[keep]) + [t[2] for t in new_edges]
+    kfb = list(efb[keep]) + [t[3] for t in new_edges]
+
+    # append split copies' sequences via vectorized gather
+    lens = np.diff(ups.offsets)
+    src = np.asarray(new_seq_src, np.int64)
+    add_total = int(lens[src].sum())
+    new_bases = np.empty(len(ups.bases) + add_total, np.uint8)
+    new_bases[:len(ups.bases)] = ups.bases
+    offsets = np.zeros(n + len(src) + 1, np.int64)
+    offsets[:n + 1] = ups.offsets
+    at = len(ups.bases)
+    for i, sid in enumerate(src):   # few split copies; each a memcpy
+        L = int(lens[sid])
+        new_bases[at:at + L] = \
+            ups.bases[ups.offsets[sid]:ups.offsets[sid] + L]
+        at += L
+        offsets[n + i + 1] = at
     ups2 = Unipaths(
-        bases=np.concatenate(seqs) if seqs else np.zeros(0, np.uint8),
+        bases=new_bases,
         offsets=offsets,
-        kmer_counts=np.asarray(kcnt, np.int32),
-        mean_cov=np.asarray(mcov, np.float32) if mcov is not None else None)
-    if kept:
-        ea, efa, eb, efb = zip(*kept)
-    else:
-        ea = efa = eb = efb = ()
-    g2 = UniGraph(np.asarray(ea, np.int32), np.asarray(efa, bool),
-                  np.asarray(eb, np.int32), np.asarray(efb, bool))
+        kmer_counts=np.concatenate([kcnt, np.asarray(new_kcnt, np.int32)]),
+        mean_cov=None if mcov is None else np.concatenate(
+            [np.asarray(mcov, np.float32),
+             np.asarray(new_mcov, np.float32)]))
+    g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
+                  np.asarray(kb, np.int32), np.asarray(kfb, bool))
     return ups2, g2, n_split
 
 
