@@ -37,15 +37,20 @@ class PolishConfig:
     indel_margin: int = 2       # best variant must beat original by this
 
 
-def _pileup_votes(offsets: np.ndarray, codes: np.ndarray,
-                  lengths: np.ndarray, al_contig, al_anchor, al_rc, al_ok,
-                  chunk: int = 262144) -> np.ndarray:
-    """Per-column base votes [total, 4], accumulated in read chunks so the
-    intermediate coordinate matrices stay bounded at genome scale."""
+def _pileup_segments(offsets: np.ndarray, codes: np.ndarray,
+                     lengths: np.ndarray, al_contig, al_anchor, al_rc, al_ok,
+                     seg: int = 8 << 20, chunk: int = 262144):
+    """Yield (s0, s1, votes[s1-s0, 4]) over genome-position segments.
+
+    Out-of-core pileup (VERDICT r2 Next #5): alignlets are sorted by their
+    global start position once, then each segment scans only its
+    overlapping alignlet range, so peak memory is ~seg*32 B regardless of
+    genome size (the old dense [4*genome] int64 vector was 147 MB at
+    E. coli and 100 GB at human scale). codes/lengths may be np.memmap
+    views — rows page in per chunk."""
     total = int(offsets[-1])
     gstart = np.asarray(offsets[:-1], np.int64)
     gend = np.asarray(offsets[1:], np.int64)
-    codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     al_contig = np.asarray(al_contig)
     al_anchor = np.asarray(al_anchor)
@@ -54,23 +59,48 @@ def _pileup_votes(offsets: np.ndarray, codes: np.ndarray,
     idx_all = np.nonzero(ok)[0]
     L = codes.shape[1]
     j = np.arange(L, dtype=np.int64)[None, :]
-    votes = np.zeros(total * 4, np.int64)
-    for s in range(0, len(idx_all), chunk):
-        idx = idx_all[s : s + chunk]
-        sel_len = lengths[idx][:, None]
-        anchor = al_anchor[idx].astype(np.int64)[:, None]
-        rc = al_rc[idx][:, None]
-        tpos = np.where(rc, anchor - j, anchor + j)
-        base = codes[idx].astype(np.int64)
-        base = np.where(rc & (base < 4), 3 - base, base)
-        cs = gstart[al_contig[idx]][:, None]
-        gpos = cs + tpos
-        cend = gend[al_contig[idx]][:, None]
-        valid = (j < sel_len) & (base < 4) & (gpos >= cs) & (gpos < cend)
-        # bincount on (pos*4 + base) is ~20x faster than np.add.at scatter
-        votes += np.bincount(gpos[valid] * 4 + base[valid],
-                             minlength=total * 4)
-    return votes.reshape(total, 4).astype(np.int32)
+    # sort alignlets by leftmost covered global position
+    anc0 = al_anchor[idx_all].astype(np.int64)
+    gmin = gstart[al_contig[idx_all]] + np.where(
+        al_rc[idx_all], anc0 - (lengths[idx_all].astype(np.int64) - 1), anc0)
+    order = np.argsort(gmin, kind="stable")
+    idx_all = idx_all[order]
+    gmin = gmin[order]
+    for s0 in range(0, total, seg):
+        s1 = min(s0 + seg, total)
+        lo = np.searchsorted(gmin, s0 - L)
+        hi = np.searchsorted(gmin, s1)
+        votes = np.zeros((s1 - s0) * 4, np.int64)
+        for s in range(lo, hi, chunk):
+            idx = idx_all[s : min(s + chunk, hi)]
+            sel_len = lengths[idx][:, None]
+            anchor = al_anchor[idx].astype(np.int64)[:, None]
+            rc = al_rc[idx][:, None]
+            tpos = np.where(rc, anchor - j, anchor + j)
+            base = np.asarray(codes[idx]).astype(np.int64)
+            base = np.where(rc & (base < 4), 3 - base, base)
+            cs = gstart[al_contig[idx]][:, None]
+            gpos = cs + tpos
+            cend = gend[al_contig[idx]][:, None]
+            valid = (j < sel_len) & (base < 4) & (gpos >= cs) \
+                & (gpos < cend) & (gpos >= s0) & (gpos < s1)
+            # bincount on (pos*4+base) is ~20x faster than np.add.at scatter
+            votes += np.bincount((gpos[valid] - s0) * 4 + base[valid],
+                                 minlength=(s1 - s0) * 4)
+        yield s0, s1, votes.reshape(-1, 4).astype(np.int32)
+
+
+def _pileup_votes(offsets: np.ndarray, codes: np.ndarray,
+                  lengths: np.ndarray, al_contig, al_anchor, al_rc, al_ok,
+                  chunk: int = 262144) -> np.ndarray:
+    """Dense per-column base votes [total, 4] — small-assembly convenience
+    wrapper over _pileup_segments (tests, toy scale)."""
+    total = int(offsets[-1])
+    out = np.zeros((total, 4), np.int32)
+    for s0, s1, v in _pileup_segments(offsets, codes, lengths, al_contig,
+                                      al_anchor, al_rc, al_ok, chunk=chunk):
+        out[s0:s1] = v
+    return out
 
 
 def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
@@ -82,18 +112,20 @@ def polish_contigs(flat_bases: np.ndarray, offsets: np.ndarray,
     total = int(offsets[-1])
     if total == 0 or not np.asarray(al_ok).any():
         return flat_bases, 0
-    votes = _pileup_votes(offsets, codes, lengths,
-                          al_contig, al_anchor, al_rc, al_ok)
-    support = votes.sum(1)
-    winner = votes.argmax(1)
-    win_n = votes[np.arange(total), winner]
-    cur = flat_bases.astype(np.int64)
-    change = ((support >= cfg.min_support)
-              & (win_n >= cfg.min_frac * support)
-              & (winner != cur) & (cur < 4))
     out = flat_bases.copy()
-    out[change] = winner[change].astype(np.uint8)
-    return out, int(change.sum())
+    n_changed = 0
+    for s0, s1, votes in _pileup_segments(offsets, codes, lengths,
+                                          al_contig, al_anchor, al_rc, al_ok):
+        support = votes.sum(1)
+        winner = votes.argmax(1)
+        win_n = votes[np.arange(s1 - s0), winner]
+        cur = flat_bases[s0:s1].astype(np.int64)
+        change = ((support >= cfg.min_support)
+                  & (win_n >= cfg.min_frac * support)
+                  & (winner != cur) & (cur < 4))
+        out[s0:s1][change] = winner[change].astype(np.uint8)
+        n_changed += int(change.sum())
+    return out, n_changed
 
 
 def _indel_variants(t0: np.ndarray, xs: np.ndarray) -> List[Tuple]:
@@ -152,19 +184,27 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
     ok = np.asarray(al_ok)
     if not ok.any():
         return flat_bases, offsets, 0, []
-    votes = _pileup_votes(offsets, codes, lengths,
-                          al_contig, al_anchor, al_rc, ok)
-    support = votes.sum(1)
-    win_n = votes.max(1)
-    contested = (support >= cfg.min_support) & (win_n < cfg.min_frac * support)
-    if not contested.any():
+    # contested columns, collected per segment (bounded memory at scale)
+    cpos_parts, sup_parts = [], []
+    for s0, s1, votes in _pileup_segments(offsets, codes, lengths,
+                                          al_contig, al_anchor, al_rc, ok):
+        support = votes.sum(1)
+        win_n = votes.max(1)
+        contested = (support >= cfg.min_support) \
+            & (win_n < cfg.min_frac * support)
+        p = np.nonzero(contested)[0]
+        if len(p):
+            cpos_parts.append(p + s0)
+            sup_parts.append(support[p])
+    if not cpos_parts:
         return flat_bases, offsets, 0, []
+    cpos = np.concatenate(cpos_parts)
+    csup = np.concatenate(sup_parts)
     # cluster contested positions (gap <= 8 joins); suspect = cluster center
-    cpos = np.nonzero(contested)[0]
     brk = np.nonzero(np.diff(cpos) > 8)[0]
-    clusters = np.split(cpos, brk + 1)
-    clusters.sort(key=lambda cl: -support[cl].sum())
-    clusters = clusters[: cfg.max_suspects]
+    clusters = np.split(np.arange(len(cpos)), brk + 1)
+    clusters.sort(key=lambda cl: -csup[cl].sum())
+    clusters = [cpos[cl] for cl in clusters[: cfg.max_suspects]]
 
     aidx = _AlignIndex(al_contig, al_anchor, al_rc, al_ok, lengths, n_contigs)
     w = cfg.indel_window

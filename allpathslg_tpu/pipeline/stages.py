@@ -114,7 +114,7 @@ class Pipeline:
         ih = rd.hash_of("validate", cfg.K_ec, self._art_hash("frag_reads_orig"))
 
         def fn():
-            a = rd.load_arrays("frag_reads_orig")
+            a = rd.load_arrays("frag_reads_orig", mmap=True)
             batch = batch_from_codes(a["codes"], a["lengths"], a.get("quals"))
             # spectrum-only streaming: the raw table is discarded per merge
             # pass, so genome-scale read sets never hold a full table
@@ -147,7 +147,7 @@ class Pipeline:
         ih = rd.hash_of("remove_dodgy", self._art_hash("frag_reads_orig"))
 
         def fn():
-            a = rd.load_arrays("frag_reads_orig")
+            a = rd.load_arrays("frag_reads_orig", mmap=True)
             codes, lengths = a["codes"], a["lengths"]
             quals = a.get("quals")
             pairs = a.get("pairs")
@@ -193,7 +193,7 @@ class Pipeline:
                         self._art_hash("frag_reads_filt"))
 
         def fn():
-            a = rd.load_arrays("frag_reads_filt")
+            a = rd.load_arrays("frag_reads_filt", mmap=True)
             # global stacks: votes pool over ALL reads, not one batch
             # (per-batch stacks starve below min_winner at genome scale)
             out, total = pc.precorrect_global(a["codes"], a["quals"],
@@ -212,7 +212,7 @@ class Pipeline:
                         self._art_hash("frag_reads_prec"))
 
         def fn():
-            a = rd.load_arrays("frag_reads_prec")
+            a = rd.load_arrays("frag_reads_prec", mmap=True)
             ecfg = cfg.spectrum_ec
             codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
             quals, _ = _pad_batch(a["quals"], cfg.batch_reads, 0)
@@ -254,7 +254,7 @@ class Pipeline:
                         self._art_hash("frag_reads_edit"))
 
         def fn():
-            a = rd.load_arrays("frag_reads_edit")
+            a = rd.load_arrays("frag_reads_edit", mmap=True)
             ecfg = cfg.spectrum_ec
             table_np = np.load(rd.file_path("strong_table.npy"))
             table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
@@ -286,7 +286,7 @@ class Pipeline:
         ih = rd.hash_of("fill", self._art_hash("frag_reads_corr"))
 
         def fn():
-            a = rd.load_arrays("frag_reads_corr")
+            a = rd.load_arrays("frag_reads_corr", mmap=True)
             codes, lengths, quals = a["codes"], a["lengths"], a["quals"]
             pairs = a.get("pairs")
             if pairs is None or not len(pairs):
@@ -358,7 +358,7 @@ class Pipeline:
                         self._art_hash("filled_reads"))
 
         def fn():
-            a = rd.load_arrays("filled_reads")
+            a = rd.load_arrays("filled_reads", mmap=True)
             ck_acc = kcount.count_reads_streaming(
                 a["codes"], cfg.K, batch_size=cfg.batch_reads,
                 min_count=cfg.min_kmer_count)
@@ -453,7 +453,7 @@ class Pipeline:
         def fn():
             if not rd.has("jump_reads_orig"):
                 return {"skipped": "no jump library"}
-            a = rd.load_arrays("jump_reads_orig")
+            a = rd.load_arrays("jump_reads_orig", mmap=True)
             table_np = np.load(rd.file_path("strong_table.npy"))
             table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
             c, q, l, pair_ok, m = jec.error_correct_jumps(
@@ -481,7 +481,7 @@ class Pipeline:
             if not rd.has("jump_reads_ec"):
                 return {"skipped": "no jump library"}
             u = rd.load_arrays("unibases")
-            j = rd.load_arrays("jump_reads_ec")
+            j = rd.load_arrays("jump_reads_ec", mmap=True)
             index = alook.build_index(u["bases"], u["offsets"], K=cfg.K_ec)
             acfg = alook.AlignConfig(K=cfg.K_ec)
             # pad jump reads to a device batch multiple
@@ -539,7 +539,7 @@ class Pipeline:
         from allpathslg_tpu.align import lookup as alook
 
         u = rd.load_arrays("unibases")
-        j = rd.load_arrays(reads_art)
+        j = rd.load_arrays(reads_art, mmap=True)
         index = alook.build_index(u["bases"], u["offsets"], K=cfg.K_ec)
         acfg = alook.AlignConfig(K=cfg.K_ec)
         codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
@@ -591,7 +591,7 @@ class Pipeline:
                        for i in range(len(offs) - 1)]
             scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
             al = rd.load_arrays("frag_alignlets")
-            fr = rd.load_arrays("filled_reads")
+            fr = rd.load_arrays("filled_reads", mmap=True)
             new_contigs, new_scaffolds, n_closed, pieces = \
                 apatch.patch_scaffold_gaps(
                     scaffolds, contigs, fr["codes"], fr["lengths"],
@@ -639,7 +639,7 @@ class Pipeline:
                              for i in range(len(clens))]
             else:
                 al = rd.load_arrays("jump_alignlets")
-                j = rd.load_arrays("jump_reads_ec")
+                j = rd.load_arrays("jump_reads_ec", mmap=True)
                 lib_id = np.asarray(j.get("lib_id",
                                           np.zeros(len(j["pairs"]), np.int32)))
                 inserts = np.asarray(j["lib_sep"], np.int64).copy()
@@ -728,7 +728,7 @@ class Pipeline:
             offs = u["offsets"]
             contigs = [u["bases"][offs[i]:offs[i + 1]]
                        for i in range(len(offs) - 1)]
-            lr = rd.load_arrays("long_reads_orig")
+            lr = rd.load_arrays("long_reads_orig", mmap=True)
             lro = lr["offsets"]
             long_reads = [lr["bases"][lro[i]:lro[i + 1]]
                           for i in range(len(lro) - 1)]
@@ -797,7 +797,7 @@ class Pipeline:
             contigs = [u["bases"][offs[i]:offs[i + 1]]
                        for i in range(len(offs) - 1)]
             scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
-            fr = rd.load_arrays("filled_reads")
+            fr = rd.load_arrays("filled_reads", mmap=True)
             acfg = aast.AssistConfig(patch_K=cfg.K_ec)
             ck = kcount.count_reads_streaming(fr["codes"], acfg.patch_K,
                                               batch_size=cfg.batch_reads)
@@ -847,7 +847,7 @@ class Pipeline:
             # re-place reads on the (patched) contigs
             m = self._align_reads_to_contigs_arrays(
                 u["bases"], u["offsets"], "filled_reads")
-            fr = rd.load_arrays("filled_reads")
+            fr = rd.load_arrays("filled_reads", mmap=True)
             bases, n_changed = apol.polish_contigs(
                 u["bases"], u["offsets"], fr["codes"], fr["lengths"],
                 m["contig"], m["anchor"], m["is_rc"], m["aligned"])
@@ -878,7 +878,7 @@ class Pipeline:
     def _align_reads_to_contigs_arrays(self, bases, offsets, reads_art):
         cfg, rd = self.cfg, self.rd
         from allpathslg_tpu.align import lookup as alook
-        j = rd.load_arrays(reads_art)
+        j = rd.load_arrays(reads_art, mmap=True)
         index = alook.build_index(bases, offsets, K=cfg.K_ec)
         acfg = alook.AlignConfig(K=cfg.K_ec)
         codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
