@@ -165,7 +165,8 @@ def polish_indels(flat_bases: np.ndarray, offsets: np.ndarray,
                   cfg: PolishConfig = PolishConfig()
                   ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Indel repair pass (ref: FixSomeIndels). Returns (new flat bases,
-    new offsets, n_indels_fixed)."""
+    new offsets, n_indels_fixed, edit_rows) where edit_rows lists
+    (contig, pos, old_len, new_len) for ambiguity-table remapping."""
     from allpathslg_tpu.asm.patch import _AlignIndex, _rc as _rcseq
     from allpathslg_tpu.ops import banded
 

@@ -157,11 +157,57 @@ def main():
     except Exception as e:
         log(f"banded-DP bench skipped: {e}")
 
+    # aligned read-pairs/s (the other half of the binding metric, ref:
+    # src/lookup/QueryLookupTable.cc + AlignPairsToHyper, BASELINE.md):
+    # index a simulated 2 Mb contig set, stream read batches through the
+    # seed-vote-verify aligner inside one jitted fori_loop
+    pairs_per_s = 0.0
+    try:
+        from allpathslg_tpu.align import lookup as alook
+        from allpathslg_tpu.eval import sim
+
+        genome = sim.random_genome(2_000_000, seed=5)
+        n_contigs = 16
+        cl = len(genome) // n_contigs
+        offs = np.arange(n_contigs + 1, dtype=np.int64) * cl
+        index = alook.build_index(genome[: offs[-1]], offs, K=24)
+        rb, _, _ = sim.simulate_paired_reads(genome, coverage=3.3,
+                                             error_rate=0.01, seed=6)
+        n_r = (min(rb.n_reads, 65536) // 2) * 2
+        rcodes = jnp.asarray(np.asarray(rb.codes)[:n_r])
+        rlens = jnp.asarray(np.asarray(rb.lengths)[:n_r])
+        acfg = alook.AlignConfig(K=24)
+        fb = jnp.asarray(genome[: offs[-1]])
+
+        @jax.jit
+        def many_align(codes, lens):
+            def body(i, tot):
+                c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
+                rid, cc, d, o, okc = alook._candidates(
+                    index.words, index.contig, index.pos, index.is_rc,
+                    c, lens, acfg)
+                _, _, _, _, aligned = alook._vote_and_verify(
+                    rid, cc, d, o, okc, fb, index.offsets, c, lens, acfg)
+                return tot + aligned.sum()
+            return lax.fori_loop(0, REP, body, jnp.int32(0))
+
+        n_al = int(many_align(rcodes, rlens))
+        t0 = time.perf_counter()
+        n_al = int(many_align(rcodes, rlens))
+        adt = (time.perf_counter() - t0) / REP
+        pairs_per_s = (n_r / 2) / adt
+        log(f"lookup align: {adt*1e3:.1f} ms/batch of {n_r} reads, "
+            f"{n_al/REP/n_r:.2f} aligned frac, "
+            f"{pairs_per_s/1e6:.3f} M read-pairs/s")
+    except Exception as e:
+        log(f"read-pairs bench skipped: {e}")
+
     print(json.dumps({
         "metric": "canonical_kmer_count_throughput",
         "value": round(kps / 1e6, 2),
         "unit": "Mkmers/s/chip" + ("(cpu-fallback)" if cpu_fallback else ""),
         "vs_baseline": round(kps / CPU_SOCKET_KMERS_PER_S, 3),
+        "extra": {"aligned_read_pairs_per_s": round(pairs_per_s, 0)},
     }))
 
 
