@@ -311,6 +311,150 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     return ups2, g2, n_split
 
 
+def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
+                           cfg: LocalizeConfig = LocalizeConfig(),
+                           margin: float = 3.0):
+    """Pull apart DOMINANT (in, out) pairings at junctions the perfect
+    matcher leaves intact (ref: SupportedHyperBasevector::PullApart handles
+    the clean 2-in/2-out case; real data leaves junctions where only SOME
+    pairings are resolved — VERDICT r2 Next #9 "partial pairings with
+    support margins").
+
+    A vote row (m, in, out, c) is dominant when c >= min_thread_support AND
+    c >= margin x the best competing row sharing its in-edge or its
+    out-edge. Each dominant row splits off a copy of m wired (in -> copy ->
+    out); the consumed in/out edges leave the original m, which stays in
+    place with its residual (ambiguous) edges. Returns (ups', g', n_split).
+    """
+    votes = _thread_counts(rp)
+    if len(votes) == 0:
+        return ups, g, 0
+    n = ups.n
+
+    def _pack4(a, fa, b, fb):
+        return (np.asarray(a, np.int64) << 33) | \
+            (np.asarray(fa, np.int64) << 32) | \
+            (np.asarray(b, np.int64) << 1) | np.asarray(fb, np.int64)
+
+    ekey = np.unique(_pack4(g.a, g.fa, g.b, g.fb))
+    ea = (ekey >> 33).astype(np.int64)
+    efa = ((ekey >> 32) & 1).astype(bool)
+    eb = ((ekey >> 1) & ((1 << 31) - 1)).astype(np.int64)
+    efb = (ekey & 1).astype(bool)
+    akey = np.unique(np.concatenate([
+        _pack4(ea, efa, eb, efb), _pack4(eb, ~efb, ea, ~efa)]))
+
+    M, A, FA, B, FB, C = (votes[:, 0], votes[:, 1],
+                          votes[:, 2].astype(bool), votes[:, 3],
+                          votes[:, 4].astype(bool), votes[:, 5])
+
+    def _is_edge(a, fa, b, fb):
+        k = _pack4(a, fa, b, fb)
+        p = np.searchsorted(akey, k)
+        p = np.minimum(p, max(len(akey) - 1, 0))
+        return (len(akey) > 0) & (akey[p] == k)
+
+    zf = np.zeros(len(M), bool)
+    row_ok = _is_edge(A, FA, M, zf) & _is_edge(M, zf, B, FB) \
+        & (A != M) & (B != M)
+    kcnt = np.asarray(ups.kmer_counts)
+    row_ok &= kcnt[M] <= cfg.max_repeat_kmers
+    if not row_ok.any():
+        return ups, g, 0
+    M, A, FA, B, FB, C = (x[row_ok] for x in (M, A, FA, B, FB, C))
+
+    # competitor maxima per (mid, in) and per (mid, out)
+    inkey = (M << 34) | (A << 2) | (FA.astype(np.int64) << 1)
+    outkey = (M << 34) | (B << 2) | (FB.astype(np.int64) << 1) | 1
+    def _group_top2(key, c):
+        order = np.lexsort((-c, key))
+        ks, cs = key[order], c[order]
+        first = np.searchsorted(ks, ks, side="left")
+        top = cs[first]                       # best in group
+        # second-best: best where rank-within-group >= 1
+        rank = np.arange(len(ks)) - first
+        sec = np.zeros(len(ks), np.int64)
+        has2 = np.flatnonzero(rank == 1)
+        if len(has2):
+            sec_vals = cs[has2]
+            sec_first = first[has2]
+            tmp = np.zeros(len(ks), np.int64)
+            tmp[sec_first] = sec_vals
+            sec = tmp[first]
+        inv = np.empty(len(ks), np.int64)
+        inv[order] = np.arange(len(ks))
+        return top[inv], sec[inv]
+    in_top, in_sec = _group_top2(inkey, C)
+    out_top, out_sec = _group_top2(outkey, C)
+    # competitor for row = best OTHER row sharing its in (or out) group
+    comp_in = np.where(C == in_top, in_sec, in_top)
+    comp_out = np.where(C == out_top, out_sec, out_top)
+    comp = np.maximum(comp_in, comp_out)
+    dom = (C >= cfg.min_thread_support) & (C >= margin * np.maximum(comp, 1)) \
+        & (C > comp)
+
+    if not dom.any():
+        return ups, g, 0
+
+    # one split per dominant row; serialize conflicts (same consumed edge
+    # twice cannot happen given dominance exclusivity, but same MID with
+    # several dominant rows is fine — one copy each)
+    Md, Ad, FAd, Bd, FBd = (x[dom] for x in (M, A, FA, B, FB))
+    consumed_in = _pack4(Ad, FAd, Md, np.zeros(len(Md), bool))
+    consumed_out = _pack4(Md, np.zeros(len(Md), bool), Bd, FBd)
+    # drop consumed edges (and their mirrors) from the deduped edge list
+    drop = set(consumed_in.tolist()) | set(consumed_out.tolist()) \
+        | set(_pack4(Md, np.ones(len(Md), bool), Ad, ~FAd).tolist()) \
+        | set(_pack4(Bd, ~FBd, Md, np.ones(len(Md), bool)).tolist())
+    ek = _pack4(ea, efa, eb, efb)
+    keep = ~np.isin(ek, np.fromiter(drop, np.int64, len(drop)))
+
+    mcov = ups.mean_cov
+    lens = np.diff(ups.offsets)
+    n_copies_of = np.bincount(Md, minlength=n)
+    new_edges = []
+    new_src, new_kcnt, new_mcov = [], [], []
+    next_id = n
+    for i in range(len(Md)):
+        m = int(Md[i])
+        cid = next_id
+        next_id += 1
+        new_src.append(m)
+        new_kcnt.append(int(kcnt[m]))
+        if mcov is not None:
+            new_mcov.append(float(mcov[m]) / max(n_copies_of[m] + 1, 1))
+        new_edges.append((int(Ad[i]), bool(FAd[i]), cid, False))
+        new_edges.append((cid, False, int(Bd[i]), bool(FBd[i])))
+
+    ka = list(ea[keep]) + [t[0] for t in new_edges]
+    kfa = list(efa[keep]) + [t[1] for t in new_edges]
+    kb = list(eb[keep]) + [t[2] for t in new_edges]
+    kfb = list(efb[keep]) + [t[3] for t in new_edges]
+
+    src = np.asarray(new_src, np.int64)
+    add_total = int(lens[src].sum()) if len(src) else 0
+    new_bases = np.empty(len(ups.bases) + add_total, np.uint8)
+    new_bases[: len(ups.bases)] = ups.bases
+    offsets = np.zeros(n + len(src) + 1, np.int64)
+    offsets[: n + 1] = ups.offsets
+    at = len(ups.bases)
+    for i, sid in enumerate(src):
+        L = int(lens[sid])
+        new_bases[at : at + L] = \
+            ups.bases[ups.offsets[sid] : ups.offsets[sid] + L]
+        at += L
+        offsets[n + i + 1] = at
+    ups2 = Unipaths(
+        bases=new_bases, offsets=offsets,
+        kmer_counts=np.concatenate([kcnt, np.asarray(new_kcnt, np.int32)]),
+        mean_cov=None if mcov is None else np.concatenate(
+            [np.asarray(mcov, np.float32),
+             np.asarray(new_mcov, np.float32)]))
+    g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
+                  np.asarray(kb, np.int32), np.asarray(kfb, bool))
+    return ups2, g2, len(Md)
+
+
 def localize_resolve(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                      cfg: LocalizeConfig = LocalizeConfig()):
     """Full localization pass: edge-support filter, then iterated

@@ -76,16 +76,25 @@ def _resupport(sg: SupportedGraph, g2: UniGraph) -> np.ndarray:
 
 
 def pull_apart(sg: SupportedGraph, rp: ReadPaths,
-               min_thread_support: int = 2, max_rounds: int = 8
-               ) -> Tuple[SupportedGraph, int]:
+               min_thread_support: int = 2, max_rounds: int = 8,
+               margin: float = 3.0) -> Tuple[SupportedGraph, int]:
     """Pull-apart: replicate a junction unipath per supported (in, out)
     thread pairing (ref: SupportedHyperBasevector::PullApart — the 2-in/
-    2-out case; generalized here to k-in/k-out perfect pairings)."""
+    2-out case; generalized here to k-in/k-out perfect pairings, then to
+    PARTIAL pairings: a dominant pairing — margin x better-supported than
+    any competitor on its in- or out-edge — splits off even when the rest
+    of the junction stays ambiguous)."""
     cfg = localize.LocalizeConfig(min_thread_support=min_thread_support,
                                   max_rounds=max_rounds)
     ups, g, n = sg.ups, sg.g, 0
     for _ in range(max_rounds):
         ups, g, k = localize.thread_repeats(ups, g, rp, cfg)
+        n += k
+        if k == 0:
+            break
+    for _ in range(max_rounds):
+        ups, g, k = localize.thread_repeats_partial(ups, g, rp, cfg,
+                                                    margin=margin)
         n += k
         if k == 0:
             break

@@ -52,7 +52,7 @@ def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
                        error_rate: float, read_len: int, seed: int, log,
                        jump_coverage: float = 0.0, jump_insert: int = 3000,
                        jump_sd: int = 300, pacbio_coverage: float = 0.0,
-                       jump_libs=None):
+                       jump_libs=None, long_jump_libs=None):
     """PrepareAllPathsInputs analog for simulated data; also stores truth.
 
     `jump_libs` is an optional list of (insert, sd, coverage) tuples for
@@ -108,6 +108,35 @@ def prepare_sim_inputs(rd: RunDir, genome_size: int, coverage: float,
                        lib_id=np.concatenate(libids),
                        lib_sep=np.array([l[0] for l in jump_libs], np.int32),
                        lib_sd=np.array([l[1] for l in jump_libs], np.int32))
+    if long_jump_libs:
+        # long-jump (Fosill-class) libraries: same outward chemistry, much
+        # larger inserts — consumed by the second scaffolding pass (ref:
+        # the manual's long-jump recipe, stages.long_jump_scaffolds)
+        n_at = 0
+        codes, lens, quals, prs, libids = [], [], [], [], []
+        for li, (ins, sd, cov) in enumerate(long_jump_libs):
+            jb, jp, _ = sim.simulate_paired_reads(
+                genome, coverage=cov, read_len=read_len,
+                error_rate=error_rate, insert_mean=ins,
+                insert_sd=sd, outward=True, seed=seed + 101 + 31 * li)
+            codes.append(np.asarray(jb.codes))
+            quals.append(np.asarray(jb.quals))
+            lens.append(np.asarray(jb.lengths))
+            prs.append(np.asarray(jp.pairs) + n_at)
+            libids.append(np.full(len(jp.pairs), li, np.int32))
+            n_at += jb.n_reads
+            log(f"[prepare] simulated long-jump lib {li} reads={jb.n_reads} "
+                f"insert={ins}±{sd}")
+        rd.save_arrays("long_jump_reads_orig",
+                       codes=np.concatenate(codes),
+                       lengths=np.concatenate(lens),
+                       quals=np.concatenate(quals),
+                       pairs=np.concatenate(prs),
+                       lib_id=np.concatenate(libids),
+                       lib_sep=np.array([l[0] for l in long_jump_libs],
+                                        np.int32),
+                       lib_sd=np.array([l[1] for l in long_jump_libs],
+                                       np.int32))
     if pacbio_coverage > 0:
         lr, _, _ = sim.simulate_long_reads(genome, coverage=pacbio_coverage,
                                            seed=seed + 3)

@@ -710,6 +710,56 @@ class Pipeline:
         return self.run_stage("make_scaffolds", ih,
                               ["assembly.superb", "assembly.agp"], fn)
 
+    def long_jump_scaffolds(self):
+        """Second MakeScaffolds pass with long-jump libraries: scaffolds
+        become super-contigs, long-jump pairs join them (ref:
+        src/paths/MakeScaffolds*.cc later iterations admitting long jumps;
+        SURVEY.md §2.5 row 17)."""
+        cfg, rd = self.cfg, self.rd
+        from allpathslg_tpu.ec import jump as jec
+        from allpathslg_tpu.scaffold import longjump as slj
+        from allpathslg_tpu.scaffold import superb as ssb
+
+        ih = rd.hash_of("long_jump_scaffolds",
+                        self._art_hash("long_jump_reads_orig"),
+                        self._art_hash("unibases"),
+                        str(rd.metrics("make_scaffolds")))
+
+        def fn():
+            if not rd.has("long_jump_reads_orig"):
+                return {"skipped": "no long-jump library"}
+            # EC exactly like regular jumps (trusted-prefix truncation)
+            a = rd.load_arrays("long_jump_reads_orig", mmap=True)
+            table_np = np.load(rd.file_path("strong_table.npy"))
+            table = [jnp.asarray(table_np[i])
+                     for i in range(table_np.shape[0])]
+            c, q, l, pair_ok, m = jec.error_correct_jumps(
+                a["codes"], a["quals"], a["lengths"], a["pairs"], table)
+            rd.save_arrays("long_jump_reads_ec", codes=c, quals=q,
+                           lengths=l, pairs=a["pairs"], pair_ok=pair_ok)
+            am = self._align_reads_to_contigs("long_jump_reads_ec",
+                                              "long_jump_alignlets")
+            al = rd.load_arrays("long_jump_alignlets")
+            u = rd.load_arrays("unibases")
+            clens = np.diff(u["offsets"]).astype(np.int64)
+            scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
+            lib_id = np.asarray(a.get("lib_id",
+                                      np.zeros(len(a["pairs"]), np.int32)))
+            out, mm = slj.long_jump_pass(
+                scaffolds, clens, al["contig"], al["anchor"], al["is_rc"],
+                al["aligned"], l, a["pairs"],
+                np.asarray(a.get("lib_sep", np.array([10000])), np.int64),
+                np.asarray(a.get("lib_sd", np.array([1000])), np.int64),
+                lib_ids=lib_id)
+            ssb.write_superb(rd.file_path("assembly.superb"), out)
+            ssb.write_agp(rd.file_path("assembly.agp"), out, clens)
+            from allpathslg_tpu.eval import stats as estats
+            st = estats.assembly_stats([sb.length(clens) for sb in out])
+            return {**m, **am, **mm, "scaffold_n50": st["n50"]}
+
+        return self.run_stage("long_jump_scaffolds", ih,
+                              ["assembly.superb"], fn)
+
     def long_read_patch(self):
         """LongReadPostPatcher: close residual scaffold gaps with PacBio
         consensus patches (short-read polish cleans them downstream)."""
@@ -1212,8 +1262,13 @@ class Pipeline:
         else:
             sc_deps = ("unipaths",)
         jobs["make_scaffolds"] = (sc_deps, self.make_scaffolds)
+        sc_last = "make_scaffolds"
+        if self.rd.has("long_jump_reads_orig"):
+            jobs["long_jump_scaffolds"] = (("make_scaffolds",),
+                                           self.long_jump_scaffolds)
+            sc_last = "long_jump_scaffolds"
         jobs["align_frags"] = (("unipaths",), self.align_frags)
-        jobs["patch_gaps"] = (("align_frags", "make_scaffolds"),
+        jobs["patch_gaps"] = (("align_frags", sc_last),
                               self.patch_gaps)
         tail = ["patch_gaps"]
         if self.rd.has("long_reads_orig"):
