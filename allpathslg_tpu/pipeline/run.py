@@ -192,6 +192,9 @@ def main(argv=None):
     ap.add_argument("--jump-libs", default="",
                     help="multi-library jump spec 'ins:sd:cov,ins:sd:cov,...'"
                          " (e.g. 3000:300:50,10000:1000:10)")
+    ap.add_argument("--long-jump-libs", default="",
+                    help="long-jump (Fosill-class) spec 'ins:sd:cov,...'"
+                         " consumed by the second scaffolding pass")
     ap.add_argument("--pacbio-coverage", type=float, default=0.0)
     ap.add_argument("--k", type=int, default=96)
     ap.add_argument("overrides", nargs="*", help="KEY=VALUE config overrides")
@@ -213,18 +216,18 @@ def main(argv=None):
 
     if not rd.has("frag_reads_orig"):
         if args.sim_genome:
-            jlibs = None
-            if args.jump_libs:
-                jlibs = [tuple(float(x) if i == 2 else int(x)
-                               for i, x in enumerate(spec.split(":")))
-                         for spec in args.jump_libs.split(",")]
+            def _libspec(s):
+                return [tuple(float(x) if i == 2 else int(x)
+                              for i, x in enumerate(spec.split(":")))
+                        for spec in s.split(",")] if s else None
             prepare_sim_inputs(rd, args.sim_genome, args.coverage,
                                args.error_rate, args.read_len, args.seed, log,
                                jump_coverage=args.jump_coverage,
                                jump_insert=args.jump_insert,
                                jump_sd=args.jump_sd,
                                pacbio_coverage=args.pacbio_coverage,
-                               jump_libs=jlibs)
+                               jump_libs=_libspec(args.jump_libs),
+                               long_jump_libs=_libspec(args.long_jump_libs))
         elif args.in_libs and args.in_groups:
             from allpathslg_tpu.pipeline.prepare import prepare_inputs
             prepare_inputs(rd, args.in_libs, args.in_groups,

@@ -126,3 +126,26 @@ def test_contig_placements_roundtrip():
     assert soff[2] == 0 and soff[0] == 350 and soff[1] == 0
     assert src[2] and not src[0]
     assert slen.tolist() == [450, 200]
+
+
+def test_e2e_pipeline_with_long_jump_library(tmp_path_factory):
+    """Full pipeline with a regular 3 kb jump plus a 12 kb long-jump
+    library: the second scaffolding pass runs, aligns the long jumps and
+    does not regress the scaffold N50."""
+    from allpathslg_tpu.pipeline.run import main
+    from allpathslg_tpu.pipeline.rundir import RunDir
+
+    rd_path = str(tmp_path_factory.mktemp("e2e_longjump"))
+    rc = main(["--run-dir", rd_path, "--sim-genome", "50000",
+               "--coverage", "45", "--error-rate", "0.004",
+               "--jump-libs", "3000:300:12",
+               "--long-jump-libs", "12000:1200:8",
+               "batch_reads=16384"])
+    assert rc == 0
+    rd = RunDir(rd_path)
+    lm = rd.metrics("long_jump_scaffolds")
+    assert "skipped" not in lm, lm
+    assert lm["n_aligned"] > 0
+    sm = rd.metrics("make_scaffolds")
+    assert lm["scaffold_n50"] >= sm["scaffold_n50"], (lm, sm)
+    assert lm["n_scaffolds_out"] <= lm["n_scaffolds_in"]
