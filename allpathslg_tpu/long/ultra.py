@@ -193,7 +193,13 @@ def _banded_votes(win: np.ndarray, frag: np.ndarray, flen: np.ndarray,
     # vectorized traceback: all problems walk together
     i = wlen.astype(np.int64).copy()
     k = end_k.astype(np.int64)
-    alive = Dend[np.arange(B), end_k] < BIG
+    best = Dend[np.arange(B), end_k]
+    # misanchor filter: a genuine overlap of two 15%-error reads costs
+    # ~0.7-0.9 per window base; a spurious k-mer collision aligns at
+    # ~75% difference (~1.8+/base). Excluding those keeps collision noise
+    # out of the pileup (the reference's MultipleAligner keeps only
+    # friends whose alignment validates).
+    alive = (best < BIG) & (best < np.int64(1.3 * np.maximum(wlen, 1)))
     ev_i, ev_kind, ev_base, ev_prob = [], [], [], []
     bidx = np.arange(B)
     Dt = D  # [Lt+1, B, W2]
