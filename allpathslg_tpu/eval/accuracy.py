@@ -129,10 +129,19 @@ def lib_coverage(lengths: np.ndarray, genome_size: int,
 
 
 def estimate_insert_stats(al_contig, al_anchor, al_rc, al_ok, read_lens,
-                          pairs: np.ndarray, max_insert: int = 100_000):
+                          pairs: np.ndarray, max_insert: int = 100_000,
+                          trim_sigma: float = 6.0):
     """Empirical insert-size distribution from same-contig innie pairs
     (ref: SamplePairedReadStats / SamplePairedReadDistributions →
-    IntDistribution). Returns (mean, sd, histogram)."""
+    IntDistribution). Returns (mean, sd, histogram).
+
+    Robustness: chimeric or multi-mapped placements at real-data rates
+    produce a long uniform tail of bogus separations that fattens the
+    raw moments (and the histogram RemodelGaps' MLE then trusts). The
+    estimate is therefore MAD-trimmed: only separations within
+    `trim_sigma` robust-sigmas (1.4826*MAD) of the median contribute to
+    the moments and the histogram. trim_sigma=6 keeps >99.99% of a
+    clean Gaussian library while rejecting the chimeric tail."""
     contig = np.asarray(al_contig)
     anchor = np.asarray(al_anchor).astype(np.int64)
     rc = np.asarray(al_rc)
@@ -149,6 +158,10 @@ def estimate_insert_stats(al_contig, al_anchor, al_rc, al_ok, read_lens,
     ins = ins[(ins > 0) & (ins < max_insert)]
     if len(ins) == 0:
         return 0.0, 0.0, np.zeros(0, np.int64)
+    med = np.median(ins)
+    mad = 1.4826 * np.median(np.abs(ins - med))
+    if mad > 0:
+        ins = ins[np.abs(ins - med) <= trim_sigma * mad]
     hist = np.bincount(np.minimum(ins, max_insert - 1))
     return float(ins.mean()), float(ins.std()), hist
 

@@ -27,6 +27,12 @@ from allpathslg_tpu.scaffold.superb import Superb
 class ScaffoldConfig:
     min_links: int = 2          # pairs required to accept a join
     max_gap_sd: float = 1e9     # reject sloppier link estimates
+    # Systematic (non-statistical) layout slop for conflict tests, in bp:
+    # absorbs negative-gap clamping, alignlet anchor quantization and
+    # contig-end trimming biases that no per-link variance models. The
+    # STATISTICAL part of every conflict tolerance is derived from the
+    # link SEM + the crossed junctions' gap deviations (see find_conflicts).
+    conflict_slop_bp: float = 100.0
 
 
 class _UF:
@@ -193,9 +199,17 @@ def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
         if ja == jb:
             continue
         mean = float(lg.gap_mean[i])
-        sem = float(lg.gap_sd[i])
+        sem = float(lg.gap_sd[i])   # links.py stores sd/sqrt(n) — the SEM
         n = int(lg.n_pairs[i])
-        tol = slack * max(sem, 1.0) * np.sqrt(max(n, 1)) + 3 * 12 + 50
+        # Tolerance on |pred - mean|: mean carries the link SEM; pred
+        # carries the layout uncertainty of every junction gap crossed
+        # between the two contigs (independent estimates → variances add).
+        # conflict_slop_bp absorbs the systematic biases (see ScaffoldConfig).
+        lo, hi = min(ja, jb), max(ja, jb)
+        layout_var = sum(
+            float(scaffolds[sa].gap_devs[j]) ** 2 for j in range(lo, hi))
+        tol = slack * np.sqrt(max(sem, 1.0) ** 2 + layout_var) \
+            + cfg.conflict_slop_bp
         # two readings of the link: a'(oa) then b'(ob), or rc-mirror
         consistent = False
         if jb > ja and fa == bool(lg.oa[i]) and fb == bool(lg.ob[i]):
@@ -204,7 +218,6 @@ def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
         elif ja > jb and fb == (not bool(lg.ob[i])) and fa == (not bool(lg.oa[i])):
             pred = pa - (pb + clens[b])
             consistent = abs(pred - mean) <= tol
-        lo, hi = min(ja, jb), max(ja, jb)
         w = float(n) * (1.0 if consistent else -1.0)
         for j in range(lo, hi):
             votes[(sa, j)] = votes.get((sa, j), 0.0) + w
@@ -220,6 +233,7 @@ def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
             continue
         a, b = int(lg.a[i]), int(lg.b[i])
         g = float(lg.gap_mean[i])
+        g_sem = float(lg.gap_sd[i])
         for c, x in ((a, b), (b, a)):
             si = where.get(c)
             if si is None or where.get(x) == si:
@@ -236,7 +250,7 @@ def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
                 else:
                     start = p + clens[b] + g
             placements.setdefault((si, x), []).append(
-                (float(start), float(n)))
+                (float(start), float(n), g_sem))
     # junction coordinate spans per scaffold
     for (si, x), pls in placements.items():
         if len(pls) < 1:
@@ -244,11 +258,15 @@ def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
         sb = scaffolds[si]
         pc = pos_cache[si]
         lx = float(clens[x])
-        tol = 3 * 12 + 100
         # pairwise disagreement between supported placements
         for ai in range(len(pls)):
             for bi in range(ai + 1, len(pls)):
-                (s1, w1), (s2, w2) = pls[ai], pls[bi]
+                (s1, w1, e1), (s2, w2, e2) = pls[ai], pls[bi]
+                # each placement start carries its link's SEM; slop per
+                # ScaffoldConfig.conflict_slop_bp
+                tol = slack * np.sqrt(max(e1, 1.0) ** 2
+                                      + max(e2, 1.0) ** 2) \
+                    + cfg.conflict_slop_bp
                 if abs(s1 - s2) <= lx * 0.5 + tol:
                     continue
                 lo_c, hi_c = min(s1, s2), max(s1, s2) + lx

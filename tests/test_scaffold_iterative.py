@@ -103,3 +103,44 @@ def test_remodel_gaps_uses_distribution():
     out = scaffolder.remodel_gaps(sb, lg, dist)
     assert abs(out[0].gaps[0] - true_gap) <= abs(gm - true_gap) + 1
     assert abs(out[0].gaps[0] - true_gap) <= 100
+
+
+def test_conflict_tolerance_derived_from_sem_and_layout():
+    """The conflict tolerance is slack*sqrt(SEM^2 + crossed-junction
+    gap-dev^2) + conflict_slop_bp, NOT a constant times sd*sqrt(n): a
+    heavily-sampled spanning link (tiny SEM = 50, n = 40) whose mean
+    contradicts the layout by 1500 bp MUST vote the junctions it spans
+    down — the old 6*sd*sqrt(n)+86 form (= 1983 here) grew MORE tolerant
+    with more pairs and called this consistent."""
+    from allpathslg_tpu.scaffold.superb import Superb
+
+    clens = np.asarray([10000, 10000, 10000], np.int64)
+    sb = [Superb([0, 1, 2], [False, False, False], [100, 100], [5, 5])]
+    rows = [
+        (0, 1, False, False, 15, 100.0, 5.0),
+        (1, 2, False, False, 15, 100.0, 5.0),
+        # layout predicts sep 10100; mean 8600 is 1500 short; tol_new =
+        # 6*sqrt(50^2+5^2+5^2)+100 = ~403 -> conflict, outvoting the +15s
+        (0, 2, False, False, 40, 8600.0, 50.0),
+    ]
+    breaks = scaffolder.find_conflicts(
+        sb, _lg(rows), clens, scaffolder.ScaffoldConfig())
+    assert set(breaks) == {(0, 0), (0, 1)}, breaks
+
+
+def test_conflict_tolerance_wide_sem_long_jump_tolerated():
+    """Same 1500 bp deviation from a sloppy long-jump link (SEM = 400):
+    within slack robust-sigmas (tol = 6*sqrt(400^2+50)+100 = ~2500), so
+    wide libraries must NOT shatter true scaffolds."""
+    from allpathslg_tpu.scaffold.superb import Superb
+
+    clens = np.asarray([10000, 10000, 10000], np.int64)
+    sb = [Superb([0, 1, 2], [False, False, False], [100, 100], [5, 5])]
+    rows = [
+        (0, 1, False, False, 15, 100.0, 5.0),
+        (1, 2, False, False, 15, 100.0, 5.0),
+        (0, 2, False, False, 40, 8600.0, 400.0),
+    ]
+    breaks = scaffolder.find_conflicts(
+        sb, _lg(rows), clens, scaffolder.ScaffoldConfig())
+    assert breaks == [], breaks
