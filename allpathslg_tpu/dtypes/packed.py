@@ -50,6 +50,44 @@ def unpack_codes(words: jnp.ndarray, nmask: jnp.ndarray, L: int):
     return jnp.where(isn != 0, jnp.uint8(4), base.astype(jnp.uint8))
 
 
+def pack_codes_device(codes: jnp.ndarray):
+    """Device-side pack (jit-safe) for the RETURN path of batch programs
+    (e.g. corrected reads): -> (words [N, ceil(L/16)] uint32,
+    nmask [N, ceil(L/32)] uint32). The download shrinks ~2.7x."""
+    from jax import lax
+
+    n, L = codes.shape
+    Wb = (L + 15) // 16
+    Wn = (L + 31) // 32
+    # sum in int32 (Mosaic has no unsigned reductions); addends occupy
+    # disjoint bit slots so two's-complement addition == OR
+    cp = jnp.zeros((n, Wb * 16), jnp.int32).at[:, :L].set(
+        codes.astype(jnp.int32) & 3)
+    sh = (jnp.arange(Wb * 16, dtype=jnp.int32) % 16) * 2
+    words = lax.bitcast_convert_type(
+        jnp.sum((cp << sh).reshape(n, Wb, 16), axis=2, dtype=jnp.int32),
+        jnp.uint32)
+    npad = jnp.zeros((n, Wn * 32), jnp.int32).at[:, :L].set(
+        (codes == 4).astype(jnp.int32))
+    shn = jnp.arange(Wn * 32, dtype=jnp.int32) % 32
+    nmask = lax.bitcast_convert_type(
+        jnp.sum((npad << shn).reshape(n, Wn, 32), axis=2, dtype=jnp.int32),
+        jnp.uint32)
+    return words, nmask
+
+
+def unpack_codes_host(words: np.ndarray, nmask: np.ndarray, L: int):
+    """Host-side numpy mirror of unpack_codes."""
+    words = np.asarray(words)
+    nmask = np.asarray(nmask)
+    j = np.arange(L, dtype=np.uint32)
+    base = ((words[:, j // 16] >> ((j % 16) * 2)) & 3).astype(np.uint8)
+    if nmask.shape[1] == 0:
+        return base
+    isn = (nmask[:, j // 32] >> (j % 32)) & 1
+    return np.where(isn != 0, np.uint8(4), base)
+
+
 def pack_quals(quals: np.ndarray):
     """Host pack quals via a 4-bit palette (ref: feudal QualNibbleVec — the
     reference stores quals 4-bit; modern Illumina emits 4-8 distinct

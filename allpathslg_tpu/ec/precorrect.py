@@ -178,6 +178,32 @@ def precorrect_stats_batch(codes: jnp.ndarray, quals: jnp.ndarray):
     return kcount.compact_table(skeys, counts, starts)
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def precorrect_stats_batch_packed(words, nmask, qnib, qpal, L: int):
+    """precorrect_stats_batch over a 2-bit packed batch (dtypes/packed):
+    unpack fuses into the program; the host->device link moves ~4x fewer
+    bytes — the binding cost at genome scale (see count_reads_packed)."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    return precorrect_stats_batch(pk.unpack_codes(words, nmask, L),
+                                  pk.unpack_quals(qnib, qpal, L))
+
+
+@functools.partial(jax.jit, static_argnames=("L", "cfg"))
+def precorrect_apply_batch_packed(words, nmask, qnib, qpal, L: int,
+                                  table_words, table_counts,
+                                  cfg: "PrecorrectConfig"):
+    """Packed-in, packed-out apply: corrected codes return as 2-bit words
+    (+ N mask), cutting the download ~2.7x as well."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    out, k = precorrect_apply_batch(pk.unpack_codes(words, nmask, L),
+                                    pk.unpack_quals(qnib, qpal, L),
+                                    table_words, table_counts, cfg)
+    ow, om = pk.pack_codes_device(out)
+    return ow, om, k
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def precorrect_apply_batch(codes, quals, table_words, table_counts,
                            cfg: PrecorrectConfig = PrecorrectConfig()):
@@ -233,11 +259,17 @@ def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
 
     from allpathslg_tpu.kmer import count as kcount
 
+    from allpathslg_tpu.dtypes import packed as pk
+
     n, L = codes.shape
     sc = kcount.StreamingCounter()
     for s in range(0, n, batch_size):
         cb, qb = _pad_slice(codes, quals, s, batch_size)
-        sc.add(precorrect_stats_batch(jnp.asarray(cb), jnp.asarray(qb)))
+        w, m, Lb = pk.pack_codes(cb)
+        qn, qp, _ = pk.pack_quals(qb)
+        sc.add(precorrect_stats_batch_packed(
+            jnp.asarray(w), jnp.asarray(m),
+            None if qn is None else jnp.asarray(qn), jnp.asarray(qp), Lb))
     # table stays DEVICE-resident, padded to a quantized capacity so the
     # apply pass compiles once per size bucket (sentinel rows never match)
     # count-1 rows are droppable only when min_winner >= 2 (a count-1 row
@@ -252,10 +284,14 @@ def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
     total = 0
     for s in range(0, n, batch_size):
         cb, qb = _pad_slice(codes, quals, s, batch_size)
-        c, k = precorrect_apply_batch(jnp.asarray(cb), jnp.asarray(qb),
-                                      tw, tc, cfg)
+        w, m, Lb = pk.pack_codes(cb)
+        qn, qp, _ = pk.pack_quals(qb)
+        ow, om, k = precorrect_apply_batch_packed(
+            jnp.asarray(w), jnp.asarray(m),
+            None if qn is None else jnp.asarray(qn), jnp.asarray(qp), Lb,
+            tw, tc, cfg)
         e = min(s + batch_size, n)
-        out[s:e] = np.asarray(c)[: e - s]
+        out[s:e] = pk.unpack_codes_host(ow, om, Lb)[: e - s]
         total += int(k)
     return out, total
 

@@ -101,6 +101,19 @@ def _coverage_counts(strongw, K: int, L: int):
     return n_strong, n_cov, lo, hi
 
 
+@functools.partial(jax.jit, static_argnames=("L", "cfg"))
+def correct_round_packed(words, nmask, qnib, qpal, L: int, table,
+                         cfg: SpectrumECConfig):
+    """Packed-in/packed-out correct_round (dtypes/packed): the per-batch
+    host<->device transfer is the genome-scale bottleneck, not compute."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    out, n = correct_round(pk.unpack_codes(words, nmask, L),
+                           pk.unpack_quals(qnib, qpal, L), table, cfg)
+    ow, om = pk.pack_codes_device(out)
+    return ow, om, n
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def correct_round(codes, quals, table, cfg: SpectrumECConfig):
     """One round of spectrum EC. Returns (new_codes, n_fixed)."""
@@ -173,6 +186,18 @@ def correct_round(codes, quals, table, cfg: SpectrumECConfig):
     upd = jnp.where(do, fix_base, jnp.take_along_axis(codes, csafe, axis=1))
     new_codes = codes.at[rows.reshape(-1), csafe.reshape(-1)].set(upd.reshape(-1))
     return new_codes, jnp.sum(do)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "cfg"))
+def clean_reads_packed(words, nmask, lengths, L: int, table,
+                       cfg: SpectrumECConfig):
+    """Packed-in/packed-out clean_reads (see correct_round_packed)."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    out, lens, k = clean_reads(pk.unpack_codes(words, nmask, L),
+                               lengths, table, cfg)
+    ow, om = pk.pack_codes_device(out)
+    return ow, om, lens, k
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -119,6 +119,22 @@ def count_reads(codes: jnp.ndarray, K: int,
     return compact_table(skeys, counts, starts, qsum)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "K"))
+def count_reads_packed(words, nmask, L: int, K: int,
+                       qnib=None, qpal=None) -> CountedKmers:
+    """count_reads over a 2-bit PACKED batch (dtypes/packed.pack_codes /
+    pack_quals): the host->device transfer shrinks ~4x (the axon/DCN link
+    is the genome-scale bottleneck, not device compute) and the unpack
+    fuses into this program. Ref: the reference streams feudal BaseVecs —
+    2-bit on disk and in RAM — for the same reason (src/feudal/BaseVec.h)."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    codes = pk.unpack_codes(words, nmask, L)
+    quals = None if qnib is None and qpal is None \
+        else pk.unpack_quals(qnib, qpal, L)
+    return count_reads(codes, K, quals)
+
+
 def _sum_per_run(values, starts, counts):
     """Sum of `values` over each run, placed at run starts (0 elsewhere).
     One cumsum + one gather; no scatters."""
@@ -287,8 +303,19 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
             cb = np.concatenate([cb, np.full((pad, cb.shape[1]), 4, cb.dtype)])
             if qb is not None:
                 qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
-        group.append(count_reads(jnp.asarray(cb), K,
-                                 None if qb is None else jnp.asarray(qb)))
+        # 2-bit packed transfer (see count_reads_packed): link bytes, not
+        # device compute, bound genome-scale streaming throughput
+        from allpathslg_tpu.dtypes import packed as pk
+
+        w, m, Lb = pk.pack_codes(cb)
+        if qb is None:
+            part = count_reads_packed(jnp.asarray(w), jnp.asarray(m), Lb, K)
+        else:
+            qn, qp, _ = pk.pack_quals(qb)
+            part = count_reads_packed(
+                jnp.asarray(w), jnp.asarray(m), Lb, K,
+                None if qn is None else jnp.asarray(qn), jnp.asarray(qp))
+        group.append(part)
         if len(group) >= merge_group:
             fold_group()
     fold_group()

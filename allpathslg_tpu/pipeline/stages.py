@@ -22,6 +22,7 @@ from typing import Callable, Dict, List
 import numpy as np
 import jax.numpy as jnp
 
+from allpathslg_tpu.dtypes import packed as _packed
 from allpathslg_tpu.dtypes.reads import batch_from_codes
 from allpathslg_tpu.ec import precorrect as pc
 from allpathslg_tpu.ec import spectrum_ec as sec
@@ -231,9 +232,15 @@ class Pipeline:
                 self.log(f"  [find_errors] round {r}: strong table built")
                 n_round = 0
                 for s, e in _batched(codes, None, cfg.batch_reads):
-                    c, n = sec.correct_round(jnp.asarray(codes[s:e]),
-                                             jnp.asarray(quals[s:e]), table, ecfg)
-                    codes[s:e] = np.asarray(c)
+                    # packed transfer both ways (dtypes/packed): link
+                    # bytes bound genome-scale streaming, not compute
+                    w, m, Lb = _packed.pack_codes(codes[s:e])
+                    qn, qp, _ = _packed.pack_quals(quals[s:e])
+                    ow, om, n = sec.correct_round_packed(
+                        jnp.asarray(w), jnp.asarray(m),
+                        None if qn is None else jnp.asarray(qn),
+                        jnp.asarray(qp), Lb, table, ecfg)
+                    codes[s:e] = _packed.unpack_codes_host(ow, om, Lb)
                     n_round += int(n)
                 total += n_round
                 self.log(f"  [find_errors] round {r}: n_strong={int(n_strong)} "
@@ -264,9 +271,11 @@ class Pipeline:
             out_l = np.empty_like(lengths)
             kept = 0
             for s, e in _batched(codes, None, cfg.batch_reads):
-                c, l, k = sec.clean_reads(jnp.asarray(codes[s:e]),
-                                          jnp.asarray(lengths[s:e]), table, ecfg)
-                out_c[s:e] = np.asarray(c)
+                w, m, Lb = _packed.pack_codes(codes[s:e])
+                ow, om, l, k = sec.clean_reads_packed(
+                    jnp.asarray(w), jnp.asarray(m),
+                    jnp.asarray(lengths[s:e]), Lb, table, ecfg)
+                out_c[s:e] = _packed.unpack_codes_host(ow, om, Lb)
                 out_l[s:e] = np.asarray(l)
                 kept += int(k)
             rd.save_arrays("frag_reads_corr", codes=out_c[:n_real],
