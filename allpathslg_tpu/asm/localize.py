@@ -247,6 +247,7 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     new_mcov: List[float] = []
     next_id = n
     n_split = 0
+    mcov_scaled = None if mcov is None else np.array(mcov, np.float32)
     for m, s, e in zip(cand_mids, grp_start, grp_end):
         rows = order[s:e]
         rows = rows[row_ok[order[s:e]]]
@@ -255,13 +256,22 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
         nbrs = set(A[rows].tolist()) | set(B[rows].tolist())
         if split_touched & nbrs:
             continue  # neighbor already rewired; retry next round
-        for r in rows:
-            cid = next_id
-            next_id += 1
-            new_seq_src.append(int(m))
-            new_kcnt.append(int(kcnt[m]))
-            if mcov is not None:
-                new_mcov.append(float(mcov[m]) / max(len(rows), 1))
+        for i_r, r in enumerate(rows):
+            if i_r == 0:
+                # the FIRST pairing reuses the original mid: all its old
+                # edges are dropped below, so a fresh copy for every
+                # pairing would leave the mid as an isolated node that
+                # merge_contigs then emits as a spurious duplicate contig
+                cid = int(m)
+                if mcov_scaled is not None:
+                    mcov_scaled[m] = float(mcov[m]) / max(len(rows), 1)
+            else:
+                cid = next_id
+                next_id += 1
+                new_seq_src.append(int(m))
+                new_kcnt.append(int(kcnt[m]))
+                if mcov is not None:
+                    new_mcov.append(float(mcov[m]) / max(len(rows), 1))
             new_edges.append((int(A[r]), bool(FA[r]), cid, False))
             new_edges.append((cid, False, int(B[r]), bool(FB[r])))
         split_touched.add(int(m))
@@ -304,8 +314,7 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
         offsets=offsets,
         kmer_counts=np.concatenate([kcnt, np.asarray(new_kcnt, np.int32)]),
         mean_cov=None if mcov is None else np.concatenate(
-            [np.asarray(mcov, np.float32),
-             np.asarray(new_mcov, np.float32)]))
+            [mcov_scaled, np.asarray(new_mcov, np.float32)]))
     g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
                   np.asarray(kb, np.int32), np.asarray(kfb, bool))
     return ups2, g2, n_split
@@ -359,6 +368,15 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
         & (A != M) & (B != M)
     kcnt = np.asarray(ups.kmer_counts)
     row_ok &= kcnt[M] <= cfg.max_repeat_kmers
+    # only true junctions qualify: a 1-in/1-out mid is already resolved —
+    # splitting it would rewire identically and re-qualify forever
+    indeg_m = np.zeros(n, np.int64)
+    outdeg_m = np.zeros(n, np.int64)
+    np.add.at(outdeg_m, ea[~efa], 1)
+    np.add.at(indeg_m, eb[~efb], 1)
+    np.add.at(indeg_m, ea[efa], 1)       # rc mirror: a-(fa=True) means
+    np.add.at(outdeg_m, eb[efb], 1)      # the edge leaves a's rc end
+    row_ok &= (indeg_m[M] >= 2) | (outdeg_m[M] >= 2)
     if not row_ok.any():
         return ups, g, 0
     M, A, FA, B, FB, C = (x[row_ok] for x in (M, A, FA, B, FB, C))
@@ -410,19 +428,35 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     keep = ~np.isin(ek, np.fromiter(drop, np.int64, len(drop)))
 
     mcov = ups.mean_cov
+    mcov_scaled = None if mcov is None else np.array(mcov, np.float32)
     lens = np.diff(ups.offsets)
     n_copies_of = np.bincount(Md, minlength=n)
     new_edges = []
     new_src, new_kcnt, new_mcov = [], [], []
     next_id = n
+    # a mid whose edges are ALL consumed (and that no other dominant row
+    # references) would survive as an isolated node and be emitted as a
+    # spurious duplicate contig by merge_contigs — reuse it for one of its
+    # own dominant rows instead of minting a copy
+    kept_nodes = set(ea[keep].tolist()) | set(eb[keep].tolist())
+    endpoint_nodes = set(Ad.tolist()) | set(Bd.tolist())
+    reused = set()
     for i in range(len(Md)):
         m = int(Md[i])
-        cid = next_id
-        next_id += 1
-        new_src.append(m)
-        new_kcnt.append(int(kcnt[m]))
-        if mcov is not None:
-            new_mcov.append(float(mcov[m]) / max(n_copies_of[m] + 1, 1))
+        if m not in kept_nodes and m not in endpoint_nodes \
+                and m not in reused:
+            cid = m
+            reused.add(m)
+            if mcov_scaled is not None:
+                mcov_scaled[m] = \
+                    float(mcov[m]) / max(n_copies_of[m], 1)
+        else:
+            cid = next_id
+            next_id += 1
+            new_src.append(m)
+            new_kcnt.append(int(kcnt[m]))
+            if mcov is not None:
+                new_mcov.append(float(mcov[m]) / max(n_copies_of[m] + 1, 1))
         new_edges.append((int(Ad[i]), bool(FAd[i]), cid, False))
         new_edges.append((cid, False, int(Bd[i]), bool(FBd[i])))
 
@@ -448,8 +482,7 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
         bases=new_bases, offsets=offsets,
         kmer_counts=np.concatenate([kcnt, np.asarray(new_kcnt, np.int32)]),
         mean_cov=None if mcov is None else np.concatenate(
-            [np.asarray(mcov, np.float32),
-             np.asarray(new_mcov, np.float32)]))
+            [mcov_scaled, np.asarray(new_mcov, np.float32)]))
     g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
                   np.asarray(kb, np.int32), np.asarray(kfb, bool))
     return ups2, g2, len(Md)

@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 def pack_codes(codes: np.ndarray):
     """Host pack: [N, L] uint8 (0..4) -> (words [N, ceil(L/16)] uint32,
-    nmask [N, ceil(L/32)] uint32, L)."""
+    nmask [N, ceil(L/32)] uint32, L).
+
+    The nmask is always emitted at full width (L/32 uint32 per read) even
+    when the batch has no N/pad bases: a zero-width fast path would make
+    consecutive batches alternate pytree shapes and force extra XLA
+    recompiles of the large jitted consumers."""
     codes = np.asarray(codes, np.uint8)
     n, L = codes.shape
     Wb = (L + 15) // 16
@@ -29,9 +34,6 @@ def pack_codes(codes: np.ndarray):
     sh = (np.arange(Wb * 16, dtype=np.uint32) % 16) * 2
     words = np.bitwise_or.reduce(
         (cp << sh).reshape(n, Wb, 16), axis=2).astype(np.uint32)
-    if not (codes == 4).any():
-        # the common case: no N/pad anywhere -> zero-width mask (2 bits/base)
-        return words, np.zeros((n, 0), np.uint32), L
     npad = np.zeros((n, Wn * 32), bool)
     npad[:, :L] = codes == 4
     shn = np.arange(Wn * 32, dtype=np.uint32) % 32

@@ -161,7 +161,15 @@ def estimate_insert_stats(al_contig, al_anchor, al_rc, al_ok, read_lens,
     med = np.median(ins)
     mad = 1.4826 * np.median(np.abs(ins - med))
     if mad > 0:
-        ins = ins[np.abs(ins - med) <= trim_sigma * mad]
+        # floor the trim window: PCR-duplicate-heavy libraries (>50%
+        # near-identical separations) make MAD tiny-but-nonzero, and a
+        # few-bp window would discard nearly all legitimate spread
+        half = max(trim_sigma * mad, 50.0)
+        trimmed = ins[np.abs(ins - med) <= half]
+        # sanity: if the trim would discard >20% of pairs the spread is
+        # not Gaussian-plus-tail — keep the untrimmed moments instead
+        if len(trimmed) >= 0.8 * len(ins):
+            ins = trimmed
     hist = np.bincount(np.minimum(ins, max_insert - 1))
     return float(ins.mean()), float(ins.std()), hist
 

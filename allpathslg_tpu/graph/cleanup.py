@@ -218,12 +218,21 @@ def merge_contigs(cg: ChainGraph, K: int, popped,
 
 def simplify(ups: Unipaths, g: UniGraph, K: int, ploidy: int = 2,
              cfg: CleanupConfig = CleanupConfig()):
-    """Full cleanup: pop bubbles (diploid), trim spurs, merge. Returns
-    (Contigs, metrics)."""
+    """Full cleanup: pop bubbles, trim spurs, merge. Returns
+    (Contigs, metrics).
+
+    Bubbles are popped at any ploidy: in diploid mode the alt branch is
+    recorded as an EFASTA ambiguity; in haploid mode a simple bubble can
+    only be a sequencing-error branch (or an exact repeat pair), so the
+    weaker branch is deleted outright — keeping both would break the
+    chain AND duplicate the interior (ref: HyperBasevector bubble
+    popping runs regardless of ploidy; ploidy only gates whether the
+    alternative is preserved as {a,b} ambiguity)."""
     cg = ChainGraph(ups, g)
-    popped = pop_bubbles(cg, cfg, ploidy) if ploidy >= 2 else []
+    popped = pop_bubbles(cg, cfg, ploidy)
     n_spurs = trim_spurs(cg, K, cfg)
-    contigs = merge_contigs(cg, K, popped, record_ambiguities=ploidy >= 2)
+    contigs = merge_contigs(cg, K, popped if ploidy >= 2 else [],
+                            record_ambiguities=ploidy >= 2)
     metrics = {
         "n_bubbles_popped": len(popped),
         "n_spurs_trimmed": n_spurs,

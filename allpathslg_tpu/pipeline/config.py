@@ -36,6 +36,11 @@ class AssemblyConfig:
                                     # patching (ref: src/paths/assisted/)
     stage_workers: int = 2          # concurrent DAG stages (make -j analog;
                                     # 1 = strictly serial)
+    n_devices: int = 1              # >1: counting + K-table stages run on a
+                                    # jax.sharding.Mesh of this many devices
+                                    # (hash-routed all_to_all counting +
+                                    # distributed sample sort; artifacts stay
+                                    # byte-identical to the 1-device run)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -86,6 +86,28 @@ class Pipeline:
         self.rd = rd
         self.cfg = cfg
         self.log = log
+        self._mesh = None
+        if cfg.n_devices > 1:
+            # counting + K-table stages run mesh-distributed (hash-routed
+            # all_to_all counting / distributed sample sort — SURVEY.md
+            # §2.7 P3/P6); all other stages are unchanged and artifacts
+            # stay byte-identical to the 1-device run
+            from allpathslg_tpu.parallel import mesh as pmesh
+            self._mesh = pmesh.make_mesh(cfg.n_devices)
+            self.log(f"[pipeline] mesh: {cfg.n_devices} devices "
+                     f"({self._mesh.devices.ravel()[0].platform})")
+
+    def _count_streaming(self, codes, K, quals=None, **kw):
+        """Counting router: 1 device -> kmer.count.count_reads_streaming;
+        mesh -> parallel.dist_count.count_reads_streaming_dist (identical
+        tables either way)."""
+        if self._mesh is None:
+            return kcount.count_reads_streaming(
+                codes, K, quals, batch_size=self.cfg.batch_reads, **kw)
+        from allpathslg_tpu.parallel import dist_count as dcount
+        return dcount.count_reads_streaming_dist(
+            self._mesh, codes, K, quals=quals,
+            batch_size=self.cfg.batch_reads, **kw)
 
     def run_stage(self, name: str, inputs_hash: str, outputs: List[str], fn):
         if self.rd.stage_done(name, inputs_hash, outputs):
@@ -119,8 +141,8 @@ class Pipeline:
             batch = batch_from_codes(a["codes"], a["lengths"], a.get("quals"))
             # spectrum-only streaming: the raw table is discarded per merge
             # pass, so genome-scale read sets never hold a full table
-            _, spec = kcount.count_reads_streaming(
-                np.asarray(batch.codes), cfg.K_ec, batch_size=cfg.batch_reads,
+            _, spec = self._count_streaming(
+                np.asarray(batch.codes), cfg.K_ec,
                 min_count=1 << 30, spectrum_max_freq=cfg.max_freq)
             spec = np.asarray(spec)
             ana = kspec.analyze(spec)
@@ -218,12 +240,18 @@ class Pipeline:
             codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
             quals, _ = _pad_batch(a["quals"], cfg.batch_reads, 0)
             total = 0
+            # quals never change across rounds: pack each batch's quals
+            # once up front and reuse (host packing is part of the cost the
+            # packed path exists to remove)
+            packed_quals = {
+                s: _packed.pack_quals(quals[s:e])
+                for s, e in _batched(codes, None, cfg.batch_reads)}
             # global strong table per round over all batches, then correct
             for r in range(ecfg.rounds):
                 # pre-filter to the strong thresholds during the streamed
                 # merge: the raw (reads x windows) table never materializes
-                ck_acc = kcount.count_reads_streaming(
-                    codes, ecfg.K, quals, batch_size=cfg.batch_reads,
+                ck_acc = self._count_streaming(
+                    codes, ecfg.K, quals,
                     min_count=ecfg.min_strong_count,
                     min_qsum=ecfg.min_strong_qsum)
                 table, n_strong = sec.strong_table(ck_acc, ecfg)
@@ -235,7 +263,7 @@ class Pipeline:
                     # packed transfer both ways (dtypes/packed): link
                     # bytes bound genome-scale streaming, not compute
                     w, m, Lb = _packed.pack_codes(codes[s:e])
-                    qn, qp, _ = _packed.pack_quals(quals[s:e])
+                    qn, qp, _ = packed_quals[s]
                     ow, om, n = sec.correct_round_packed(
                         jnp.asarray(w), jnp.asarray(m),
                         None if qn is None else jnp.asarray(qn),
@@ -367,14 +395,31 @@ class Pipeline:
                         self._art_hash("filled_reads"))
 
         def fn():
+            import time as _t
             a = rd.load_arrays("filled_reads", mmap=True)
-            ck_acc = kcount.count_reads_streaming(
-                a["codes"], cfg.K, batch_size=cfg.batch_reads,
-                min_count=cfg.min_kmer_count)
+            t0 = _t.perf_counter()
+            if self._mesh is not None:
+                # K=96 table via the distributed sample sort (SURVEY §2.7
+                # P6) — globally sorted shards concatenate into the table
+                from allpathslg_tpu.parallel import dist_count as dcount
+                ck_acc = dcount.table_via_sample_sort(
+                    self._mesh, a["codes"], cfg.K,
+                    batch_size=cfg.batch_reads,
+                    min_count=cfg.min_kmer_count)
+            else:
+                ck_acc = kcount.count_reads_streaming(
+                    a["codes"], cfg.K, batch_size=cfg.batch_reads,
+                    min_count=cfg.min_kmer_count)
             ck_acc = kcount.trim_to_host(ck_acc)
+            self.log(f"  [unipaths] K={cfg.K} count: "
+                     f"{_t.perf_counter() - t0:.1f}s "
+                     f"({int(ck_acc.n_unique)} kmers)")
+            t0 = _t.perf_counter()
             ups, graph, placement = unipath.build_unipaths(
                 ck_acc.words, cfg.K, min_count=cfg.min_kmer_count,
                 counts=ck_acc.counts, with_graph=True, with_placement=True)
+            self.log(f"  [unipaths] condense: {_t.perf_counter() - t0:.1f}s "
+                     f"({ups.n} unipaths)")
             # localization: path the filled reads (= insert walks) through
             # the unipath graph, drop uncrossed edges, split threaded
             # repeats (ref: LocalizeReadsLG/MergeNeighborhoods, §3.4)
@@ -382,9 +427,15 @@ class Pipeline:
             from allpathslg_tpu.asm import localize as aloc
             lm = {}
             if ups.n > 1:
+                t0 = _t.perf_counter()
                 rp = pdb.path_reads(placement, a["codes"],
                                     batch_size=cfg.batch_reads)
+                self.log(f"  [unipaths] path_reads: "
+                         f"{_t.perf_counter() - t0:.1f}s")
+                t0 = _t.perf_counter()
                 ups, graph, lm = aloc.localize_resolve(ups, graph, rp)
+                self.log(f"  [unipaths] localize_resolve: "
+                         f"{_t.perf_counter() - t0:.1f}s")
             from allpathslg_tpu.graph import coverage as gcov
             from allpathslg_tpu.graph import cleanup as gclean
             cn, peak = gcov.copy_numbers(ups)

@@ -271,11 +271,16 @@ def find_conflicts(scaffolds: List[Superb], lg: LinkGraph,
                     continue
                 lo_c, hi_c = min(s1, s2), max(s1, s2) + lx
                 w = w1 + w2
-                # vote against every junction inside [lo_c, hi_c]
+                # vote against every junction inside [lo_c, hi_c]; widen
+                # the interval by the fixed slop only — the SEM-derived
+                # tol belongs to the disagreement test above, and reusing
+                # it here would down-vote junctions far outside the actual
+                # disagreement span for sloppy (high-SEM) links
+                widen = float(cfg.conflict_slop_bp)
                 at = 0.0
                 for j in range(len(sb.gaps)):
                     at += float(clens[sb.contig_ids[j]])
-                    if lo_c - tol < at < hi_c + tol:
+                    if lo_c - widen < at < hi_c + widen:
                         votes[(si, j)] = votes.get((si, j), 0.0) - w
                     at += float(sb.gaps[j])
     return [k for k, v in votes.items() if v < 0]

@@ -63,7 +63,15 @@ def test_popping_restores_contiguity_and_records_ambiguities(diploid):
 
 
 def test_haploid_mode_no_ambiguities(diploid):
+    """Haploid mode still POPS bubbles (an error branch would otherwise
+    break the chain and duplicate its interior) but deletes the weaker
+    branch outright instead of recording an EFASTA ambiguity (the
+    reference's HAPLOIDIFY collapse)."""
     K, h1, h2, ups, g = diploid
     contigs, m = cleanup.simplify(ups, g, K, ploidy=1)
-    assert m["n_bubbles_popped"] == 0
+    assert m["n_bubbles_popped"] > 0
     assert m["n_ambiguities"] == 0
+    # collapsing the het bubbles must join chains, not fragment them:
+    # the longest contig spans most of the haplotype
+    lens = [len(s) for s in contigs.seqs]
+    assert max(lens) > 2000, sorted(lens)[-5:]

@@ -180,6 +180,8 @@ def test_localize_scale_100k_edges():
     dt = time.perf_counter() - t0
     assert metrics["n_edges_dropped"] == n_motif          # every a1->b2
     assert metrics["n_repeats_split"] == n_motif          # every m
-    assert ups2.n == n + 2 * n_motif                      # 2 copies per m
+    # first pairing reuses the original mid, second gets one copy (a copy
+    # for every pairing would leave each mid isolated -> duplicate contigs)
+    assert ups2.n == n + n_motif
     # junctions fully rewired: each copy has exactly 1 in + 1 out
     assert dt < 60, f"localize_resolve too slow at scale: {dt:.1f}s"
