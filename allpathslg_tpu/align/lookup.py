@@ -27,14 +27,23 @@ from jax import lax
 
 from allpathslg_tpu.dtypes.reads import PAD_CODE
 from allpathslg_tpu.kmer import bits, kmerize
-from allpathslg_tpu.ops import join, sort as ops_sort, segmented
+from allpathslg_tpu.ops import sort as ops_sort, segmented
 
 
 @dataclasses.dataclass
 class SeedIndex:
-    """Sorted canonical-kmer seed index of a contig set (host handles)."""
+    """Hash-bucketed canonical-kmer seed index of a contig set.
+
+    Rows are sorted by a 32-bit mixed hash of the canonical seed kmer and
+    addressed by DIRECT bucket lookup on the hash's top bits — one gather
+    per query instead of a ~22-round binary search (random gathers are the
+    expensive TPU primitive; see docs/align_profile.md). Hash collisions
+    (~T²/2³³ rows) only add spurious candidates, which the vote/verify
+    stages already reject."""
     K: int
-    words: List[jnp.ndarray]     # W × uint32 [T] sorted
+    hash: jnp.ndarray            # uint32 [T] sorted (0xFFFFFFFF reserved)
+    bucket_starts: jnp.ndarray   # int32 [NB + 1]; NB = 1 << (32 - shift)
+    shift: int                   # bucket = hash >> shift
     contig: jnp.ndarray          # int32 [T]
     pos: jnp.ndarray             # int32 [T] position within contig
     is_rc: jnp.ndarray           # bool [T] canonical form is rc of contig fwd
@@ -69,13 +78,27 @@ def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
     pos = gpos - off32[contig]
 
     sent = jnp.uint32(0xFFFFFFFF)
-    keys = [jnp.where(valid, w.reshape(-1), sent) for w in canon]
+    flat_words = [w.reshape(-1) for w in canon]
+    h = jnp.minimum(bits.hash_words(flat_words), jnp.uint32(0xFFFFFFFE))
+    keys = [jnp.where(valid.reshape(-1), h, sent)]
     skeys, spay = ops_sort.sort_by_words(
         keys, [contig, pos, is_rc.reshape(-1).astype(jnp.int32)])
     n_valid = int(jnp.sum(valid.astype(jnp.int32)))
+    hash_sorted = skeys[0][:n_valid]
+    # bucket directory: ~4 buckets per row keeps mean occupancy ≈ 0.25 so
+    # an H-row scan from the bucket start covers the query's hash run
+    nb_bits = max(16, min(26, int(np.ceil(np.log2(max(4 * n_valid, 2))))))
+    shift = 32 - nb_bits
+    NB = 1 << nb_bits
+    bounds = (jnp.arange(NB, dtype=jnp.uint32) << shift)
+    bucket_starts = jnp.concatenate([
+        jnp.searchsorted(hash_sorted, bounds, side="left").astype(jnp.int32),
+        jnp.full((1,), n_valid, jnp.int32)])
     return SeedIndex(
         K=K,
-        words=[w[:n_valid] for w in skeys],
+        hash=hash_sorted,
+        bucket_starts=bucket_starts,
+        shift=shift,
         contig=spay[0][:n_valid],
         pos=spay[1][:n_valid],
         is_rc=spay[2][:n_valid].astype(bool),
@@ -84,10 +107,14 @@ def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _candidates(index_words, index_contig, index_pos, index_rc,
-                codes, lengths, cfg: AlignConfig):
-    """Seed lookups → candidate (contig, diag, orient) votes per read."""
+@functools.partial(jax.jit, static_argnames=("cfg", "shift"))
+def _candidates(index_hash, bucket_starts, index_contig, index_pos,
+                index_rc, codes, lengths, cfg: AlignConfig, shift: int):
+    """Seed lookups → candidate (contig, diag, orient) votes per read.
+
+    Seeds address the index by DIRECT hash-bucket lookup (2 gathers per
+    seed) instead of a multi-round binary search — random gathers dominate
+    this path on TPU (docs/align_profile.md)."""
     K = cfg.K
     N, L = codes.shape
     P = L - K + 1
@@ -103,18 +130,18 @@ def _candidates(index_words, index_contig, index_pos, index_rc,
     sqrc = q_rc[:, seed_pos]
 
     flat = [w.reshape(-1) for w in sw]
-    lo, found = join.searchsorted_words(index_words, flat)
+    qh = jnp.minimum(bits.hash_words(flat), jnp.uint32(0xFFFFFFFE))
+    b = (qh >> shift).astype(jnp.int32)
+    lo = bucket_starts[b]
+    hi = bucket_starts[b + 1]
     H = cfg.max_hits_per_seed
     T = index_contig.shape[0]
 
-    # expand each seed to up to H consecutive index hits
+    # expand each seed to up to H rows scanned from its bucket start
     hit_idx = lo[:, None] + jnp.arange(H, dtype=jnp.int32)[None, :]
-    ok = found[:, None] & (hit_idx < T)
+    ok = hit_idx < hi[:, None]
     hit_clip = jnp.minimum(hit_idx, T - 1)
-    same = jnp.ones_like(ok)
-    for w, qw in zip(index_words, flat):
-        same = same & (w[hit_clip] == qw[:, None])
-    ok = ok & same
+    ok = ok & (index_hash[hit_clip] == qh[:, None])
     c = index_contig[hit_clip]
     p = index_pos[hit_clip]
     t_rc = index_rc[hit_clip]
@@ -137,47 +164,51 @@ def _candidates(index_words, index_contig, index_pos, index_rc,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _vote_and_verify(read_id, contig, diag, orient, ok,
                      flat_bases, offsets, codes, lengths, cfg: AlignConfig):
-    """Modal placement per read, then gap-free verification."""
+    """Modal placement per read, then gap-free verification.
+
+    One 3-word sort groups identical (read, contig, diag/orient) votes;
+    winner and runner-up per read come from two packed scatter-maxes (no
+    second sort — the 4-word + payload re-sort was ~2x the vote cost)."""
     N, L = codes.shape
-    BIG = jnp.int32(0x7FFFFFFF)
-    # sort candidate votes by (read, contig, orient, diag)
-    key_r = jnp.where(ok, read_id, BIG).astype(jnp.uint32)
+    T = read_id.shape[0]
+    # sort candidate votes by (read, contig, diag ⊕ orient)
+    key_r = jnp.where(ok, read_id, jnp.int32(N)).astype(jnp.uint32)
     key_c = jnp.where(ok, contig, 0).astype(jnp.uint32)
-    key_o = jnp.where(ok, orient.astype(jnp.int32), 0).astype(jnp.uint32)
-    key_d = jnp.where(ok, diag + 2 * L, 0).astype(jnp.uint32)  # bias ≥ 0
-    skeys, _ = ops_sort.sort_by_words([key_r, key_c, key_o, key_d], [])
+    key_do = jnp.where(ok, ((diag + 2 * L) << 1) | orient.astype(jnp.int32),
+                       0).astype(jnp.uint32)
+    skeys = lax.sort([key_r, key_c, key_do], num_keys=3, dimension=0,
+                     is_stable=False)
+    skeys = list(skeys)
     starts = ops_sort.run_starts(skeys)
-    votes = segmented.run_lengths(starts)
+    votes = segmented.run_lengths(starts)          # at starts; 0 elsewhere
+    r = skeys[0].astype(jnp.int32)
 
-    # best (most-voted) placement per read: sort (read, -votes) at starts
-    vkey_r = jnp.where(starts, skeys[0], jnp.uint32(0xFFFFFFFF))
-    vkey_v = jnp.where(starts, jnp.uint32(1 << 20) - votes.astype(jnp.uint32), 0)
-    vk, vpay = ops_sort.sort_by_words(
-        [vkey_r, vkey_v],
-        [skeys[1].astype(jnp.int32), skeys[2].astype(jnp.int32),
-         skeys[3].astype(jnp.int32), votes])
-    # first row per read = winning placement
-    rstarts = ops_sort.run_starts([vk[0]])
-    ridx = jnp.arange(vk[0].shape[0], dtype=jnp.int32)
-    first_of_read = rstarts & (vk[0] != jnp.uint32(0xFFFFFFFF))
-    second = jnp.roll(first_of_read, 1) & (vk[0] == jnp.roll(vk[0], 1))
+    # winner per read: scatter-max of (votes << IB | reverse-index) — more
+    # votes wins, ties break to the lexicographically smallest placement
+    # (deterministic). IB=24 caps T at 16.7M candidate rows, votes at 127.
+    IB = 24
+    assert T < (1 << IB), f"candidate rows {T} exceed packed-argmax range"
+    idx = jnp.arange(T, dtype=jnp.int32)
+    vstart = starts & (r < N)
+    vv = jnp.minimum(votes, 127)
+    packed = jnp.where(vstart, (vv << IB) | ((1 << IB) - 1 - idx), 0)
+    rr = jnp.where(vstart, r, N)
+    win1 = jnp.zeros(N, jnp.int32).at[rr].max(packed, mode="drop")
+    win_votes = win1 >> IB
+    win_idx = ((1 << IB) - 1) - (win1 & ((1 << IB) - 1))
+    # runner-up (uniqueness test): best among the read's OTHER placements
+    is_win_row = vstart & (rr < N) & \
+        (win_idx[jnp.minimum(rr, N - 1)] == idx)
+    packed2 = jnp.where(vstart & ~is_win_row, packed, 0)
+    win2 = jnp.zeros(N, jnp.int32).at[rr].max(packed2, mode="drop")
+    run2 = win2 >> IB
 
-    # scatter winners to [N]
-    r = vk[0].astype(jnp.int32)
-    win_contig = jnp.full(N, -1, jnp.int32)
-    win_diag = jnp.full(N, 0, jnp.int32)
-    win_orient = jnp.zeros(N, jnp.int32)
-    win_votes = jnp.zeros(N, jnp.int32)
-    run_votes = jnp.where(first_of_read, vpay[3], 0)
-    rr = jnp.where(first_of_read, r, N)
-    win_contig = win_contig.at[rr].set(jnp.where(first_of_read, vpay[0], -1), mode="drop")
-    win_diag = win_diag.at[rr].set(vpay[2] - 2 * L, mode="drop")
-    win_orient = win_orient.at[rr].set(vpay[1], mode="drop")
-    win_votes = win_votes.at[rr].set(run_votes, mode="drop")
-    # runner-up votes (to test uniqueness)
-    rr2 = jnp.where(second, r, N)
-    run2 = jnp.zeros(N, jnp.int32).at[rr2].set(jnp.where(second, vpay[3], 0),
-                                               mode="drop")
+    has = win_votes > 0
+    safe_idx = jnp.minimum(win_idx, T - 1)
+    win_contig = jnp.where(has, skeys[1][safe_idx].astype(jnp.int32), -1)
+    wdo = skeys[2][safe_idx].astype(jnp.int32)
+    win_diag = jnp.where(has, (wdo >> 1) - 2 * L, 0)
+    win_orient = jnp.where(has, wdo & 1, 0)
 
     # verification: compare read to contig segment
     total = flat_bases.shape[0]
@@ -211,8 +242,10 @@ def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
     (contig, pos, rc, mismatches, aligned)."""
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
-    rid, c, d, o, ok = _candidates(index.words, index.contig, index.pos,
-                                   index.is_rc, codes, lengths, cfg)
+    rid, c, d, o, ok = _candidates(index.hash, index.bucket_starts,
+                                   index.contig, index.pos,
+                                   index.is_rc, codes, lengths, cfg,
+                                   index.shift)
     win_c, win_d, win_o, mm, aligned = _vote_and_verify(
         rid, c, d, o, ok, jnp.asarray(flat_bases), index.offsets,
         codes, lengths, cfg)

@@ -216,8 +216,8 @@ def main():
             def body(i, tot):
                 c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
                 rid, cc, d, o, okc = alook._candidates(
-                    index.words, index.contig, index.pos, index.is_rc,
-                    c, lens, acfg)
+                    index.hash, index.bucket_starts, index.contig,
+                    index.pos, index.is_rc, c, lens, acfg, index.shift)
                 _, _, _, _, aligned = alook._vote_and_verify(
                     rid, cc, d, o, okc, fb, index.offsets, c, lens, acfg)
                 return tot + aligned.sum()

@@ -67,14 +67,16 @@ def main():
     def stage_a(i, codes, lens):
         c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
         rid, cc, d, o, ok = alook._candidates(
-            index.words, index.contig, index.pos, index.is_rc, c, lens, acfg)
+            index.hash, index.bucket_starts, index.contig, index.pos,
+            index.is_rc, c, lens, acfg, index.shift)
         return ok.sum()
 
     out["candidates_ms"] = sustain(stage_a, codes, lens) * 1e3
 
     # materialize candidates once for the isolated downstream stages
     rid, cc, d, o, ok = alook._candidates(
-        index.words, index.contig, index.pos, index.is_rc, codes, lens, acfg)
+        index.hash, index.bucket_starts, index.contig, index.pos,
+        index.is_rc, codes, lens, acfg, index.shift)
     rid, cc, d, o, ok = jax.tree.map(jnp.asarray, (rid, cc, d, o, ok))
     print(f"candidate rows: {rid.shape[0]}", file=sys.stderr)
 
@@ -106,7 +108,8 @@ def main():
     def stage_d(i, codes, lens):
         c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
         rid, cc, d, o, ok = alook._candidates(
-            index.words, index.contig, index.pos, index.is_rc, c, lens, acfg)
+            index.hash, index.bucket_starts, index.contig, index.pos,
+            index.is_rc, c, lens, acfg, index.shift)
         _, _, _, _, aligned = alook._vote_and_verify(
             rid, cc, d, o, ok, fb, index.offsets, c, lens, acfg)
         return aligned.sum()

@@ -72,6 +72,9 @@ def main(argv=None):
     wall = time.perf_counter() - t1
 
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    stage_s = {name: rec.get("elapsed_s", 0.0)
+               for name, rec in rd.manifest["stages"].items()}
+    top3 = sorted(stage_s.items(), key=lambda kv: -kv[1])[:3]
     metrics = {
         "genome_size": args.genome,
         "coverage": args.coverage,
@@ -80,6 +83,8 @@ def main(argv=None):
         "prepare_s": round(t_prep, 1),
         "pipeline_wall_s": round(wall, 1),
         "peak_rss_gb": round(peak_rss_gb, 2),
+        "stage_wall_s": stage_s,
+        "top3_stages": [[n, round(s, 1)] for n, s in top3],
         "report": report,
     }
     with open(os.path.join(args.run_dir, "scale_metrics.json"), "w") as f:
