@@ -28,6 +28,7 @@ deletion VOTE, a fragment base between window bases an insertion VOTE.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -138,12 +139,157 @@ def friend_hits(reads: Sequence[np.ndarray], K: int = 14,
 
 
 # ---------------------------------------------------------------------------
-# batched banded DP with traceback (host numpy, vectorized over problems)
+# batched banded DP with traceback — DEVICE path (VERDICT r3 Next #6)
 # ---------------------------------------------------------------------------
 
 
+def _banded_votes_kernel(win, frag, flen, wlen, Lt: int, Lq: int,
+                         band: int, sub: int, gap: int):
+    """Device DP + traceback for one padded problem chunk.
+
+    Same recurrence as the host oracle `_banded_votes_host` (band slot
+    scheme shared with ops/affine.py: window row i, slot k ↔ fragment
+    j = i + band + k - band; diag = same slot prev row, up = slot k+1
+    prev row, left = slot k-1 same row, with the within-row left chain
+    collapsed by the min-plus cummin trick). The forward pass records
+    2-bit choices; traceback replays them in a lax.scan emitting one
+    (window pos, kind, base) event per problem per step.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B = win.shape[0]
+    W2 = 2 * band + 1
+    BIG = jnp.int32(1 << 20)
+    off0 = band
+    ks = jnp.arange(W2, dtype=jnp.int32)
+    flen_c = jnp.minimum(flen, Lq).astype(jnp.int32)
+    wlen_c = jnp.minimum(wlen, Lt).astype(jnp.int32)
+
+    j0 = ks[None, :] + off0 - band          # fragment j at i=0
+    D0 = jnp.where((j0 >= 0) & (j0 <= flen_c[:, None]), 0, BIG)
+
+    winj = win.astype(jnp.int32)
+    fragj = frag.astype(jnp.int32)
+
+    def step(carry, i):
+        Dp, Dend = carry                     # [B, W2] each
+        j = i + off0 + ks - band             # [W2]
+        jv = (j >= 1) & (j <= Lq)
+        fj = jnp.where(jv[None, :],
+                       fragj[:, jnp.clip(j - 1, 0, Lq - 1)], 4)
+        wb = winj[:, jnp.clip(i - 1, 0, Lt - 1)][:, None]
+        sub_c = jnp.where((fj == wb) & (fj < 4) & (wb < 4), 0, sub)
+        diag = Dp + sub_c
+        diag = jnp.where(jv[None, :] & (j[None, :] - 1 <= flen_c[:, None]),
+                         diag, BIG)
+        up = jnp.concatenate([Dp[:, 1:], jnp.full((B, 1), BIG)], 1) + gap
+        cur = jnp.minimum(diag, up)
+        # left chain: r_k = k*gap + cummin_{k'<=k}(cur_k' - k'*gap)
+        ramp = ks * gap
+        r = lax.cummin(cur - ramp[None, :], axis=1) + ramp[None, :]
+        is_left = r < cur
+        cur = jnp.minimum(cur, r)
+        jok = (j[None, :] >= 0) & (j[None, :] <= flen_c[:, None])
+        cur = jnp.where(jok, cur, BIG)
+        # choice: 0 diag, 1 up, 2 left (host tie order: diag > up > left)
+        choice = jnp.where(is_left & jok, jnp.int8(2),
+                           jnp.where(diag <= up, jnp.int8(0), jnp.int8(1)))
+        Dend = jnp.where((i == wlen_c)[:, None], cur, Dend)
+        return (cur, Dend), choice
+
+    (Dlast, Dend), choices = lax.scan(
+        step, (D0, jnp.where((0 == wlen_c)[:, None], D0, BIG)),
+        jnp.arange(1, Lt + 1, dtype=jnp.int32))
+    # choices: [Lt, B, W2]
+
+    end_k = jnp.argmin(Dend, axis=1).astype(jnp.int32)
+    best = jnp.min(Dend, axis=1)
+    alive0 = (best < BIG) & \
+        (best < (1.3 * jnp.maximum(wlen_c, 1)).astype(jnp.int32))
+
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    ch_flat = choices.reshape(-1)            # [(Lt)*B*W2]
+
+    def tb_step(carry, _):
+        i, k, alive = carry
+        act = alive & (i > 0)
+        ii = jnp.maximum(i, 1)
+        ch = ch_flat[((ii - 1) * B + bidx) * W2 + k]
+        is_diag = act & (ch == 0)
+        is_up = act & (ch == 1)
+        is_left = act & (ch == 2)
+        j = i + off0 + k - band
+        fj = jnp.where((j >= 1) & (j <= Lq),
+                       fragj[bidx, jnp.clip(j - 1, 0, Lq - 1)], 4)
+        ev_i = jnp.where(is_diag | is_up, i - 1,
+                         jnp.where(is_left, i, -1))
+        ev_kind = jnp.where(is_diag, 0, jnp.where(is_up, 1, 2)) \
+            .astype(jnp.int8)
+        ev_base = jnp.where(is_up, 0, fj).astype(jnp.int8)
+        i2 = i - (is_diag | is_up).astype(jnp.int32)
+        k2 = jnp.where(is_up, jnp.minimum(k + 1, W2 - 1),
+                       jnp.where(is_left, jnp.maximum(k - 1, 0), k))
+        return (i2, k2, alive), (ev_i, ev_kind, ev_base)
+
+    n_steps = Lt + Lq + 2
+    (_, _, _), (tev_i, tev_kind, tev_base) = lax.scan(
+        tb_step, (wlen_c, end_k, alive0), None, length=n_steps)
+    return tev_i, tev_kind, tev_base          # [n_steps, B] each
+
+
 def _banded_votes(win: np.ndarray, frag: np.ndarray, flen: np.ndarray,
-                  wlen: np.ndarray, band: int, sub: int, gap: int):
+                  wlen: np.ndarray, band: int, sub: int, gap: int,
+                  chunk: int = 8192):
+    """Device-batched banded DP + traceback (jit, lax.scan); returns the
+    same event tuple as the host oracle. Problems stream in fixed-size
+    chunks so the compiled kernel count stays O(1)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, Lt = win.shape
+    Lq = frag.shape[1]
+    if B == 0:
+        z = np.zeros(0, np.int64)
+        return z, z.astype(np.int8), z.astype(np.int8), z
+    kern = jax.jit(functools.partial(
+        _banded_votes_kernel, Lt=Lt, Lq=Lq, band=band, sub=sub, gap=gap))
+    out_i, out_k, out_b, out_p = [], [], [], []
+    for s in range(0, B, chunk):
+        e = min(s + chunk, B)
+        n = e - s
+        pad = chunk - n if B > chunk else 0
+        wv, fv = win[s:e], frag[s:e]
+        fl, wl = flen[s:e], wlen[s:e]
+        if pad:
+            wv = np.concatenate([wv, np.full((pad, Lt), 4, np.uint8)])
+            fv = np.concatenate([fv, np.full((pad, Lq), 4, np.uint8)])
+            fl = np.concatenate([fl, np.zeros(pad, fl.dtype)])
+            wl = np.concatenate([wl, np.zeros(pad, wl.dtype)])
+        ti, tk, tb = kern(jnp.asarray(wv), jnp.asarray(fv),
+                          jnp.asarray(fl), jnp.asarray(wl))
+        ti = np.asarray(ti)[:, :n]
+        tk = np.asarray(tk)[:, :n]
+        tb = np.asarray(tb)[:, :n]
+        m = ti >= 0
+        probs = np.broadcast_to(np.arange(s, e, dtype=np.int64)[None, :],
+                                ti.shape)
+        out_i.append(ti[m].astype(np.int64))
+        out_k.append(tk[m])
+        out_b.append(tb[m])
+        out_p.append(probs[m])
+    return (np.concatenate(out_i), np.concatenate(out_k),
+            np.concatenate(out_b), np.concatenate(out_p))
+
+
+# ---------------------------------------------------------------------------
+# batched banded DP with traceback (host numpy oracle — kept for tests)
+# ---------------------------------------------------------------------------
+
+
+def _banded_votes_host(win: np.ndarray, frag: np.ndarray, flen: np.ndarray,
+                       wlen: np.ndarray, band: int, sub: int, gap: int):
     """Align each fragment to its window; return per-problem vote events.
 
     win  [B, Lt] uint8 window bases (the read being corrected); rows padded 4

@@ -219,14 +219,12 @@ def _from_tiles(x, B):
     return x.reshape(SUBS, G, LANES).transpose(1, 0, 2).reshape(B)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
-def banded_align_bp(q, q_len, t, t_len, offset, band: int = 15,
-                    interpret: bool = False):
-    """Bit-parallel drop-in for ops.banded.banded_align at unit costs.
-
-    Requires band <= 15 (K = 2*band+1 <= 31 so the band plus its guard bit
-    fits a uint32 word). Any batch size (padded to 1024 internally).
-    """
+def prep_operands(q, q_len, t, t_len, offset, band: int):
+    """The full pre-pallas prep of banded_align_bp: batch/row padding,
+    feasible-offset clamp, target left-pad, and tile transposes. Returns
+    (tiled operands tuple, static dims dict). Shared with
+    scripts/profile_banded_e2e.py so the measured prep decomposition can
+    never drift from the product path (ADVICE r3)."""
     B0, Lq0 = q.shape
     Lt = t.shape[1]
     K = 2 * band + 1
@@ -262,6 +260,27 @@ def banded_align_bp(q, q_len, t, t_len, offset, band: int = 15,
     Ltp = 32 * Wt
     tp = jnp.pad(t.astype(jnp.int32), ((0, 0), (P, Ltp - Lt - P)),
                  constant_values=5)
+    ops = (_to_tiles(q.astype(jnp.int32), G), _to_tiles(tp, G),
+           _scalar_tiles(q_len.astype(jnp.int32), G),
+           _scalar_tiles(tl32, G), _scalar_tiles(offc, G),
+           _scalar_tiles(shift, G))
+    dims = dict(B0=B0, B=B, G=G, K=K, Lq=Lq, Wt=Wt, Wa=Wa,
+                ws_bits=ws_bits, rows=rows, Ltp=Ltp)
+    return ops, dims
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def banded_align_bp(q, q_len, t, t_len, offset, band: int = 15,
+                    interpret: bool = False):
+    """Bit-parallel drop-in for ops.banded.banded_align at unit costs.
+
+    Requires band <= 15 (K = 2*band+1 <= 31 so the band plus its guard bit
+    fits a uint32 word). Any batch size (padded to 1024 internally).
+    """
+    ops, dm = prep_operands(q, q_len, t, t_len, offset, band)
+    B0, B, G, K = dm["B0"], dm["B"], dm["G"], dm["K"]
+    Lq, Wt, Wa, ws_bits, rows, Ltp = (dm["Lq"], dm["Wt"], dm["Wa"],
+                                      dm["ws_bits"], dm["rows"], dm["Ltp"])
 
     grid = (G, Lq // rows)
     kern = functools.partial(_kernel, K=K, band=band, Wt=Wt, Wa=Wa,
@@ -296,8 +315,5 @@ def banded_align_bp(q, q_len, t, t_len, offset, band: int = 15,
             pltpu.VMEM((SUBS, LANES), jnp.int32),  # result s0
         ],
         interpret=interpret,
-    )(_to_tiles(q.astype(jnp.int32), G), _to_tiles(tp, G),
-      _scalar_tiles(q_len.astype(jnp.int32), G),
-      _scalar_tiles(tl32, G), _scalar_tiles(offc, G),
-      _scalar_tiles(shift, G))
+    )(*ops)
     return _from_tiles(cost, B)[:B0], _from_tiles(tend, B)[:B0]

@@ -69,59 +69,21 @@ def main():
     out["full_ms"] = round(dt * 1e3, 2)
     out["full_gcells_s"] = round(cells / dt / 1e9, 1)
 
-    # ---- replicate the prep the product path does, stopping before
-    # pallas_call (kept in sync with banded_align_bp by construction)
-    K = 2 * W + 1
-    G = B // bb.TILE
-    rows = bb.ROWS
-    Lqp = ((Lq + rows - 1) // rows) * rows
-
+    # ---- the EXACT prep the product path does, stopping before
+    # pallas_call (shared helper — cannot drift from banded_align_bp)
     def prep(i, q, ql, t, tl, off):
-        qp = jnp.pad(q, ((0, 0), (0, Lqp - Lq)), constant_values=4)
-        off32 = (off + (i % 3) - 1).astype(jnp.int32)
-        off_min, off_max = -(Lq + W), Lt + W
-        bad = (off32 < off_min) | (off32 > off_max)
-        offc = jnp.clip(off32, off_min, off_max)
-        tl32 = jnp.where(bad, -1, tl)
-        P = Lqp + 2 * W
-        shift = offc - W + P
-        shift_max = Lt + P
-        ws_bits = max(1, (shift_max >> 5).bit_length())
-        Wa = ((Lqp + K - 2) >> 5) + 2
-        Ltp = shift_max + 32 * Wa + 32
-        Wt = (Ltp + 31) // 32
-        Ltp = 32 * Wt
-        tp = jnp.pad(t.astype(jnp.int32), ((0, 0), (P, Ltp - Lt - P)),
-                     constant_values=5)
-        a = bb._to_tiles(qp.astype(jnp.int32), G)
-        b2 = bb._to_tiles(tp, G)
-        c = bb._scalar_tiles(ql, G)
-        d = bb._scalar_tiles(tl32, G)
-        e = bb._scalar_tiles(offc, G)
-        f = bb._scalar_tiles(shift, G)
-        return (a.astype(jnp.int32).sum() + b2.sum() + c.sum() + d.sum()
-                + e.sum() + f.sum())
+        ops, _ = bb.prep_operands(q, ql, t, tl, off + (i % 3) - 1, W)
+        return sum(o.astype(jnp.int32).sum() for o in ops)
 
     dt = sustain(prep, q, ql, t, tl, off)
     out["prep_ms"] = round(dt * 1e3, 2)
 
     # ---- kernel on pre-tiled operands (layout transforms excluded)
-    P = Lqp + 2 * W
-    shift_max = Lt + P
-    ws_bits = max(1, (shift_max >> 5).bit_length())
-    Wa = ((Lqp + K - 2) >> 5) + 2
-    Ltp0 = shift_max + 32 * Wa + 32
-    Wt = (Ltp0 + 31) // 32
+    ops0, dm = bb.prep_operands(q, ql, t, tl, off, W)
+    K, G, rows = dm["K"], dm["G"], dm["rows"]
+    Lqp, Wt, Wa, ws_bits = dm["Lq"], dm["Wt"], dm["Wa"], dm["ws_bits"]
     Ltp = 32 * Wt
-    qp = jnp.pad(q, ((0, 0), (0, Lqp - Lq)), constant_values=4)
-    tp = jnp.pad(t.astype(jnp.int32), ((0, 0), (P, Ltp - Lt - P)),
-                 constant_values=5)
-    qt = bb._to_tiles(qp.astype(jnp.int32), G)
-    tt = bb._to_tiles(tp, G)
-    qlt = bb._scalar_tiles(ql, G)
-    tlt = bb._scalar_tiles(tl, G)
-    offt = bb._scalar_tiles(off, G)
-    shiftt = bb._scalar_tiles(off - W + P, G)
+    qt, tt, qlt, tlt, offt, shiftt = ops0
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
