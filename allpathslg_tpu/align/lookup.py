@@ -239,8 +239,18 @@ def _vote_and_verify(read_id, contig, diag, orient, ok,
 def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
                 flat_bases: np.ndarray):
     """Full alignment: returns host alignlet arrays
-    (contig, pos, rc, mismatches, aligned)."""
-    codes = jnp.asarray(codes)
+    (contig, pos, rc, mismatches, aligned).
+
+    Host code batches upload 2-bit packed (dtypes/packed) and unpack
+    inside the jitted program — the axon host->device link is ~MB/s
+    (docs/scaling.md) and raw [N, L] uint8 batches were 4x the bytes."""
+    if isinstance(codes, np.ndarray):
+        from allpathslg_tpu.dtypes import packed as pk
+
+        w, m, L = pk.pack_codes(codes)
+        codes = _unpack_jit(jnp.asarray(w), jnp.asarray(m), L)
+    else:
+        codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     rid, c, d, o, ok = _candidates(index.hash, index.bucket_starts,
                                    index.contig, index.pos,
@@ -251,3 +261,10 @@ def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
         codes, lengths, cfg)
     return (np.asarray(win_c), np.asarray(win_d), np.asarray(win_o),
             np.asarray(mm), np.asarray(aligned))
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _unpack_jit(words, nmask, L: int):
+    from allpathslg_tpu.dtypes import packed as pk
+
+    return pk.unpack_codes(words, nmask, L)

@@ -113,6 +113,48 @@ def pack_quals(quals: np.ndarray):
     return nib, pal16, L
 
 
+def device_codes(codes: np.ndarray):
+    """Host uint8 [N, L] code batch -> device uint8 [N, L], transferred
+    2-bit packed (~2.7x fewer link bytes; the axon host->device link is
+    ~MB/s) and unpacked in a tiny jitted program on device."""
+    import functools
+    import jax
+
+    w, m, L = pack_codes(codes)
+    return _unpack_codes_jit(jnp.asarray(w), jnp.asarray(m), L)
+
+
+def device_quals(quals: np.ndarray):
+    """Host uint8 qual batch -> device, transferred 4-bit palette-packed
+    when <=16 distinct values (the NovaSeq case), raw otherwise."""
+    nib, pal, L = pack_quals(quals)
+    if nib is None:
+        return jnp.asarray(pal)
+    return _unpack_quals_jit(jnp.asarray(nib), jnp.asarray(pal), L)
+
+
+def _unpack_codes_jit(words, nmask, L: int):
+    import jax
+
+    global _UPC
+    try:
+        f = _UPC
+    except NameError:
+        f = _UPC = jax.jit(unpack_codes, static_argnums=2)
+    return f(words, nmask, L)
+
+
+def _unpack_quals_jit(nib, pal, L: int):
+    import jax
+
+    global _UPQ
+    try:
+        f = _UPQ
+    except NameError:
+        f = _UPQ = jax.jit(unpack_quals, static_argnums=2)
+    return f(nib, pal, L)
+
+
 def unpack_quals(nibbles, palette, L: int):
     """Device unpack (jit-safe): -> [N, L] uint8. `palette` may be the raw
     qual matrix (fallback path) — detected by ndim."""

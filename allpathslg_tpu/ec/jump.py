@@ -50,8 +50,14 @@ def error_correct_jumps(codes, quals, lengths, pairs, table,
                         cfg: JumpECConfig = JumpECConfig()):
     """Returns (codes, quals, lengths, pair_ok, metrics). Rows are kept
     aligned with the input (dropped reads get length 0)."""
-    codes = jnp.asarray(codes)
-    quals = jnp.asarray(quals)
+    import numpy as _np
+    from allpathslg_tpu.dtypes import packed as _pk
+    if isinstance(codes, _np.ndarray):
+        codes = _pk.device_codes(codes)       # 2-bit packed upload
+        quals = _pk.device_quals(_np.asarray(quals))
+    else:
+        codes = jnp.asarray(codes)
+        quals = jnp.asarray(quals)
     lengths = jnp.asarray(lengths)
 
     # 1. trusted-prefix truncation at the chimeric junction. Trim from the

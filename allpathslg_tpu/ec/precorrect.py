@@ -246,6 +246,32 @@ def precorrect_apply_batch(codes, quals, table_words, table_counts,
     return out, jnp.sum(do_fix)
 
 
+def precorrect_global_resident(db, cfg: PrecorrectConfig = PrecorrectConfig()):
+    """Two-pass global pre-correction over a DEVICE-RESIDENT batch cache
+    (dtypes/devcache.DeviceBatches): zero read uploads — pass 1 builds
+    the global stack table from resident batches, pass 2 corrects them
+    in place (packed outputs replace the resident words; nothing crosses
+    the ~MB/s host->device link). Returns n_corrections."""
+    from allpathslg_tpu.kmer import count as kcount
+
+    sc = kcount.StreamingCounter()
+    for i in range(db.n_batches):
+        sc.add(precorrect_stats_batch_packed(
+            db.words[i], db.nmask[i], db.qnib[i], db.qpal[i], db.L))
+    merged = kcount.pad_table_quantized(
+        sc.finish(min_count=min(2, cfg.min_winner)))
+    tw, tc = list(merged.words), merged.counts
+
+    total = 0
+    for i in range(db.n_batches):
+        ow, om, k = precorrect_apply_batch_packed(
+            db.words[i], db.nmask[i], db.qnib[i], db.qpal[i], db.L,
+            tw, tc, cfg)
+        db.update_codes(i, ow, om)
+        total += int(k)
+    return total
+
+
 def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
                       batch_size: int = 65536):
     """Two-pass global pre-correction over a host read set (numpy in/out).

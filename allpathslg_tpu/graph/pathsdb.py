@@ -117,8 +117,9 @@ def path_reads(pl: KmerPlacement, codes: np.ndarray,
         if e - s < batch_size:
             cb = np.concatenate([cb, np.full((batch_size - (e - s), L), 4,
                                              codes.dtype)])
-        u, f, o = _window_placements(jnp.asarray(cb), K, table, juid, jupos,
-                                     jurc)
+        from allpathslg_tpu.dtypes import packed as _pk
+        u, f, o = _window_placements(_pk.device_codes(cb), K, table, juid,
+                                     jupos, jurc)
         rp = compress_window_paths(np.asarray(u)[: e - s],
                                    np.asarray(f)[: e - s],
                                    np.asarray(o)[: e - s])

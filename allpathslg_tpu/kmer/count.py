@@ -272,6 +272,48 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
             return _filter_counted(ck, min_count, min_qsum), spec
         return _filter_counted(ck, min_count, min_qsum)
 
+    def parts():
+        from allpathslg_tpu.dtypes import packed as pk
+
+        for s in range(0, n, batch_size):
+            e = min(s + batch_size, n)
+            cb = np.asarray(codes[s:e])
+            qb = None if quals is None else np.asarray(quals[s:e])
+            if e - s < batch_size:  # pad the tail batch to the static shape
+                pad = batch_size - (e - s)
+                cb = np.concatenate([cb,
+                                     np.full((pad, cb.shape[1]), 4, cb.dtype)])
+                if qb is not None:
+                    qb = np.concatenate(
+                        [qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+            # 2-bit packed transfer (see count_reads_packed): link bytes,
+            # not device compute, bound genome-scale streaming throughput
+            w, m, Lb = pk.pack_codes(cb)
+            if qb is None:
+                yield count_reads_packed(jnp.asarray(w), jnp.asarray(m),
+                                         Lb, K)
+            else:
+                qn, qp, _ = pk.pack_quals(qb)
+                yield count_reads_packed(
+                    jnp.asarray(w), jnp.asarray(m), Lb, K,
+                    None if qn is None else jnp.asarray(qn), jnp.asarray(qp))
+
+    return count_parts_streaming(parts(), n_arrays, min_count, min_qsum,
+                                 spectrum_max_freq=spectrum_max_freq,
+                                 merge_group=merge_group,
+                                 acc_budget_bytes=acc_budget_bytes)
+
+
+def count_parts_streaming(parts_iter, n_arrays: int,
+                          min_count: int = 0, min_qsum: int = 0,
+                          spectrum_max_freq: int = None,
+                          merge_group: int = 8,
+                          acc_budget_bytes: int = 2 << 30):
+    """Fold an iterator of per-batch CountedKmers into one table (the
+    incremental device-merge + host-spill machinery of
+    count_reads_streaming, usable with DEVICE-RESIDENT batch sources —
+    dtypes/devcache.DeviceBatches — where re-packing on host would cost
+    an upload per pass on the ~MB/s axon link)."""
     acc: Optional[CountedKmers] = None          # device-resident, quantized
     group: List[CountedKmers] = []
     spilled_parts = []                          # host fallback (huge tables)
@@ -294,27 +336,7 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
                  None if t.qsum is None else np.asarray(t.qsum)))
             acc = None
 
-    for s in range(0, n, batch_size):
-        e = min(s + batch_size, n)
-        cb = np.asarray(codes[s:e])
-        qb = None if quals is None else np.asarray(quals[s:e])
-        if e - s < batch_size:  # pad the tail batch to the static shape
-            pad = batch_size - (e - s)
-            cb = np.concatenate([cb, np.full((pad, cb.shape[1]), 4, cb.dtype)])
-            if qb is not None:
-                qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
-        # 2-bit packed transfer (see count_reads_packed): link bytes, not
-        # device compute, bound genome-scale streaming throughput
-        from allpathslg_tpu.dtypes import packed as pk
-
-        w, m, Lb = pk.pack_codes(cb)
-        if qb is None:
-            part = count_reads_packed(jnp.asarray(w), jnp.asarray(m), Lb, K)
-        else:
-            qn, qp, _ = pk.pack_quals(qb)
-            part = count_reads_packed(
-                jnp.asarray(w), jnp.asarray(m), Lb, K,
-                None if qn is None else jnp.asarray(qn), jnp.asarray(qp))
+    for part in parts_iter:
         group.append(part)
         if len(group) >= merge_group:
             fold_group()
@@ -333,6 +355,31 @@ def count_reads_streaming(codes: "np.ndarray", K: int,
         spec = np.asarray(spectrum_from_counts(acc.counts, spectrum_max_freq))
         return _filter_counted(acc, min_count, min_qsum), spec
     return _filter_counted(acc, min_count, min_qsum)
+
+
+def count_resident_streaming(db, K: int, use_quals: bool = True,
+                             min_count: int = 0, min_qsum: int = 0,
+                             spectrum_max_freq: int = None,
+                             merge_group: int = 8,
+                             acc_budget_bytes: int = 2 << 30):
+    """count_reads_streaming over a DeviceBatches cache: zero uploads —
+    every batch is already resident in HBM (dtypes/devcache)."""
+    W = bits.n_words(K)
+    hq = use_quals and db.qpal and db.qpal[0] is not None
+    n_arrays = W + 1 + (1 if hq else 0)
+
+    def parts():
+        for i in range(db.n_batches):
+            if hq:
+                yield count_reads_packed(db.words[i], db.nmask[i], db.L, K,
+                                         db.qnib[i], db.qpal[i])
+            else:
+                yield count_reads_packed(db.words[i], db.nmask[i], db.L, K)
+
+    return count_parts_streaming(parts(), n_arrays, min_count, min_qsum,
+                                 spectrum_max_freq=spectrum_max_freq,
+                                 merge_group=merge_group,
+                                 acc_budget_bytes=acc_budget_bytes)
 
 
 def _quantize_capacity(n: int, floor: int = 1 << 20) -> int:

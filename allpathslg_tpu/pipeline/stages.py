@@ -86,6 +86,12 @@ class Pipeline:
         self.rd = rd
         self.cfg = cfg
         self.log = log
+        # device-resident packed read batches shared ACROSS stages: the
+        # axon host->device link is ~MB/s (docs/scaling.md r4) so each EC
+        # stage re-uploading the read set costs ~an hour at genome scale;
+        # instead reads upload once and corrected codes stay in HBM
+        # (dtypes/devcache.DeviceBatches)
+        self._read_cache = {}
         self._mesh = None
         if cfg.n_devices > 1:
             # counting + K-table stages run mesh-distributed (hash-routed
@@ -96,6 +102,28 @@ class Pipeline:
             self._mesh = pmesh.make_mesh(cfg.n_devices)
             self.log(f"[pipeline] mesh: {cfg.n_devices} devices "
                      f"({self._mesh.devices.ravel()[0].platform})")
+
+    def _resident_batches(self, art: str, quals: bool = True):
+        """Device-resident packed batches of artifact `art` (one upload;
+        reused by later stages via _register_resident)."""
+        db = self._read_cache.get(art)
+        if db is None:
+            from allpathslg_tpu.dtypes.devcache import DeviceBatches
+            a = self.rd.load_arrays(art, mmap=True)
+            db = DeviceBatches.from_host(
+                a["codes"],
+                a["quals"] if quals and "quals" in a else None,
+                self.cfg.batch_reads)
+            self._read_cache[art] = db
+        return db
+
+    def _register_resident(self, art: str, db, drop: str = None):
+        """A stage's corrected resident batches become the OUTPUT
+        artifact's cache (the input name is dropped — its codes were
+        replaced in place — freeing its claim on HBM)."""
+        if drop:
+            self._read_cache.pop(drop, None)
+        self._read_cache[art] = db
 
     def _count_streaming(self, codes, K, quals=None, **kw):
         """Counting router: 1 device -> kmer.count.count_reads_streaming;
@@ -218,13 +246,16 @@ class Pipeline:
         def fn():
             a = rd.load_arrays("frag_reads_filt", mmap=True)
             # global stacks: votes pool over ALL reads, not one batch
-            # (per-batch stacks starve below min_winner at genome scale)
-            out, total = pc.precorrect_global(a["codes"], a["quals"],
-                                              cfg.precorrect,
-                                              batch_size=cfg.batch_reads)
+            # (per-batch stacks starve below min_winner at genome scale);
+            # reads upload ONCE and corrected codes stay device-resident
+            db = self._resident_batches("frag_reads_filt")
+            total = pc.precorrect_global_resident(db, cfg.precorrect)
+            out = db.codes_to_host()
             rd.save_arrays("frag_reads_prec", codes=out,
                            lengths=a["lengths"], quals=a["quals"],
                            **({"pairs": a["pairs"]} if "pairs" in a else {}))
+            self._register_resident("frag_reads_prec", db,
+                                    drop="frag_reads_filt")
             return {"n_corrections": total}
 
         return self.run_stage("precorrect", ih, ["frag_reads_prec.npz"], fn)
@@ -237,47 +268,48 @@ class Pipeline:
         def fn():
             a = rd.load_arrays("frag_reads_prec", mmap=True)
             ecfg = cfg.spectrum_ec
-            codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
-            quals, _ = _pad_batch(a["quals"], cfg.batch_reads, 0)
+            # reads + quals stay device-resident across all rounds (one
+            # upload if precorrect's cache was dropped; zero otherwise)
+            db = self._resident_batches("frag_reads_prec")
             total = 0
-            # quals never change across rounds: pack each batch's quals
-            # once up front and reuse (host packing is part of the cost the
-            # packed path exists to remove)
-            packed_quals = {
-                s: _packed.pack_quals(quals[s:e])
-                for s, e in _batched(codes, None, cfg.batch_reads)}
             # global strong table per round over all batches, then correct
             for r in range(ecfg.rounds):
                 # pre-filter to the strong thresholds during the streamed
                 # merge: the raw (reads x windows) table never materializes
-                ck_acc = self._count_streaming(
-                    codes, ecfg.K, quals,
-                    min_count=ecfg.min_strong_count,
-                    min_qsum=ecfg.min_strong_qsum)
+                if self._mesh is not None:
+                    # mesh path counts from host arrays (the virtual-mesh
+                    # correctness demonstrator; the resident cache is the
+                    # single-chip fast path)
+                    ck_acc = self._count_streaming(
+                        db.codes_to_host(), ecfg.K, np.asarray(a["quals"]),
+                        min_count=ecfg.min_strong_count,
+                        min_qsum=ecfg.min_strong_qsum)
+                else:
+                    ck_acc = kcount.count_resident_streaming(
+                        db, ecfg.K,
+                        min_count=ecfg.min_strong_count,
+                        min_qsum=ecfg.min_strong_qsum)
                 table, n_strong = sec.strong_table(ck_acc, ecfg)
                 del ck_acc  # free the raw table's HBM before correction
                 table = sec.compact_strong_table(table, int(n_strong))
                 self.log(f"  [find_errors] round {r}: strong table built")
                 n_round = 0
-                for s, e in _batched(codes, None, cfg.batch_reads):
-                    # packed transfer both ways (dtypes/packed): link
-                    # bytes bound genome-scale streaming, not compute
-                    w, m, Lb = _packed.pack_codes(codes[s:e])
-                    qn, qp, _ = packed_quals[s]
+                for i in range(db.n_batches):
                     ow, om, n = sec.correct_round_packed(
-                        jnp.asarray(w), jnp.asarray(m),
-                        None if qn is None else jnp.asarray(qn),
-                        jnp.asarray(qp), Lb, table, ecfg)
-                    codes[s:e] = _packed.unpack_codes_host(ow, om, Lb)
+                        db.words[i], db.nmask[i], db.qnib[i], db.qpal[i],
+                        db.L, table, ecfg)
+                    db.update_codes(i, ow, om)
                     n_round += int(n)
                 total += n_round
                 self.log(f"  [find_errors] round {r}: n_strong={int(n_strong)} "
                          f"fixes={n_round}")
             np.save(rd.file_path("strong_table.npy"),
                     np.stack([np.asarray(w) for w in table]))
-            rd.save_arrays("frag_reads_edit", codes=codes[:n_real],
+            rd.save_arrays("frag_reads_edit", codes=db.codes_to_host(),
                            lengths=a["lengths"], quals=a["quals"],
                            **({"pairs": a["pairs"]} if "pairs" in a else {}))
+            self._register_resident("frag_reads_edit", db,
+                                    drop="frag_reads_prec")
             return {"n_corrections": total, "n_strong_kmers": int(n_strong)}
 
         return self.run_stage("find_errors", ih,
@@ -293,22 +325,23 @@ class Pipeline:
             ecfg = cfg.spectrum_ec
             table_np = np.load(rd.file_path("strong_table.npy"))
             table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
-            codes, n_real = _pad_batch(a["codes"], cfg.batch_reads, 4)
-            lengths, _ = _pad_batch(a["lengths"], cfg.batch_reads, 0)
-            out_c = np.empty_like(codes)
+            db = self._resident_batches("frag_reads_edit")
+            lengths, n_real = _pad_batch(a["lengths"], cfg.batch_reads, 0)
             out_l = np.empty_like(lengths)
             kept = 0
-            for s, e in _batched(codes, None, cfg.batch_reads):
-                w, m, Lb = _packed.pack_codes(codes[s:e])
+            bs = cfg.batch_reads
+            for i in range(db.n_batches):
+                lb = jnp.asarray(lengths[i * bs:(i + 1) * bs])
                 ow, om, l, k = sec.clean_reads_packed(
-                    jnp.asarray(w), jnp.asarray(m),
-                    jnp.asarray(lengths[s:e]), Lb, table, ecfg)
-                out_c[s:e] = _packed.unpack_codes_host(ow, om, Lb)
-                out_l[s:e] = np.asarray(l)
+                    db.words[i], db.nmask[i], lb, db.L, table, ecfg)
+                db.update_codes(i, ow, om)
+                out_l[i * bs:(i + 1) * bs] = np.asarray(l)
                 kept += int(k)
-            rd.save_arrays("frag_reads_corr", codes=out_c[:n_real],
+            rd.save_arrays("frag_reads_corr", codes=db.codes_to_host(),
                            lengths=out_l[:n_real], quals=a["quals"],
                            **({"pairs": a["pairs"]} if "pairs" in a else {}))
+            self._register_resident("frag_reads_corr", db,
+                                    drop="frag_reads_edit")
             return {"n_reads_kept": kept}
 
         return self.run_stage("clean_reads", ih, ["frag_reads_corr.npz"], fn)
@@ -342,9 +375,11 @@ class Pipeline:
             for s, e in _batched(p_pad, None, B):
                 pp = p_pad[s:e]
                 c, q, l, ok = afill.fill_pairs(
-                    jnp.asarray(codes[pp[:, 0]]), jnp.asarray(quals[pp[:, 0]]),
+                    _packed.device_codes(codes[pp[:, 0]]),
+                    _packed.device_quals(quals[pp[:, 0]]),
                     jnp.asarray(lengths[pp[:, 0]]),
-                    jnp.asarray(codes[pp[:, 1]]), jnp.asarray(quals[pp[:, 1]]),
+                    _packed.device_codes(codes[pp[:, 1]]),
+                    _packed.device_quals(quals[pp[:, 1]]),
                     jnp.asarray(lengths[pp[:, 1]]), fcfg, out_len)
                 m_codes[s:e] = np.asarray(c)
                 m_quals[s:e] = np.asarray(q)
@@ -544,6 +579,7 @@ class Pipeline:
             j = rd.load_arrays("jump_reads_ec", mmap=True)
             index = alook.build_index(u["bases"], u["offsets"], K=cfg.K_ec)
             acfg = alook.AlignConfig(K=cfg.K_ec)
+            fbd = jnp.asarray(u["bases"])   # contig bases upload ONCE
             # pad jump reads to a device batch multiple
             codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
             lens, _ = _pad_batch(j["lengths"], cfg.batch_reads, 0)
@@ -554,7 +590,7 @@ class Pipeline:
             OK = np.empty(len(codes), bool)
             for s, e in _batched(codes, None, cfg.batch_reads):
                 c, d, o, mm, ok = alook.align_reads(
-                    index, codes[s:e], lens[s:e], acfg, u["bases"])
+                    index, codes[s:e], lens[s:e], acfg, fbd)
                 C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
             # estimate the true insert distribution PER LIBRARY from
             # same-contig pairs (ref: SamplePairedReadStats →
@@ -602,6 +638,7 @@ class Pipeline:
         j = rd.load_arrays(reads_art, mmap=True)
         index = alook.build_index(u["bases"], u["offsets"], K=cfg.K_ec)
         acfg = alook.AlignConfig(K=cfg.K_ec)
+        fbd = jnp.asarray(u["bases"])       # contig bases upload ONCE
         codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
         lens, _ = _pad_batch(j["lengths"], cfg.batch_reads, 0)
         C = np.empty(len(codes), np.int32)
@@ -611,7 +648,7 @@ class Pipeline:
         OK = np.empty(len(codes), bool)
         for s, e in _batched(codes, None, cfg.batch_reads):
             c, d, o, mm, ok = alook.align_reads(
-                index, codes[s:e], lens[s:e], acfg, u["bases"])
+                index, codes[s:e], lens[s:e], acfg, fbd)
             C[s:e], D[s:e], O[s:e], MM[s:e], OK[s:e] = c, d, o, mm, ok
         rd.save_arrays(out_art, contig=C[:n_real], anchor=D[:n_real],
                        is_rc=O[:n_real], mismatches=MM[:n_real],
@@ -991,6 +1028,7 @@ class Pipeline:
         j = rd.load_arrays(reads_art, mmap=True)
         index = alook.build_index(bases, offsets, K=cfg.K_ec)
         acfg = alook.AlignConfig(K=cfg.K_ec)
+        fbd = jnp.asarray(np.asarray(bases))    # contig bases upload ONCE
         codes, n_real = _pad_batch(j["codes"], cfg.batch_reads, 4)
         lens, _ = _pad_batch(j["lengths"], cfg.batch_reads, 0)
         C = np.empty(len(codes), np.int32)
@@ -999,7 +1037,7 @@ class Pipeline:
         OK = np.empty(len(codes), bool)
         for s, e in _batched(codes, None, cfg.batch_reads):
             c, d, o, mm, ok = alook.align_reads(
-                index, codes[s:e], lens[s:e], acfg, bases)
+                index, codes[s:e], lens[s:e], acfg, fbd)
             C[s:e], D[s:e], O[s:e], OK[s:e] = c, d, o, ok
         return {"contig": C[:n_real], "anchor": D[:n_real],
                 "is_rc": O[:n_real], "aligned": OK[:n_real]}

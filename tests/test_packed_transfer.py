@@ -19,11 +19,22 @@ def test_roundtrip_all_lengths():
         np.testing.assert_array_equal(out, codes)
 
 
-def test_transfer_bytes_shrink_4x():
+def test_transfer_bytes_shrink():
+    """2 bits/base + always-full-width N mask = 2.67x fewer link bytes.
+
+    The mask is emitted even for N-free batches so consecutive batches
+    keep ONE pytree shape (no XLA recompiles of the big jitted
+    consumers — ADVICE r3); that trades the old 4x best case for a
+    constant 2.67x."""
     codes = np.zeros((1024, 128), np.uint8)
     w, m, _ = packed.pack_codes(codes)
     packed_bytes = w.nbytes + m.nbytes
-    assert packed_bytes * 3.5 < codes.nbytes
+    assert packed_bytes * 2.6 < codes.nbytes
+    # shape stability: an N-bearing batch packs to the same shapes
+    codes2 = codes.copy()
+    codes2[0, 0] = 4
+    w2, m2, _ = packed.pack_codes(codes2)
+    assert w2.shape == w.shape and m2.shape == m.shape
 
 
 def test_qual_palette_roundtrip():
