@@ -172,7 +172,9 @@ class Pipeline:
             _, spec = self._count_streaming(
                 np.asarray(batch.codes), cfg.K_ec,
                 min_count=1 << 30, spectrum_max_freq=cfg.max_freq)
-            spec = np.asarray(spec)
+            # int64 regardless of path (the device-resident path returns
+            # int32, the merge path int64 — artifact bytes must match)
+            spec = np.asarray(spec, np.int64)
             ana = kspec.analyze(spec)
             rd.save_arrays("kspec_25mer", spectrum=spec)
             if int(a["lengths"].min()) < cfg.K_ec:
