@@ -40,6 +40,11 @@ class SpectrumECConfig:
     min_strong_qsum: int = 60      # quality-weighted support floor
     max_fixes_per_round: int = 4   # candidate positions per read per round
     rounds: int = 3
+    # adaptive cutoff: stop iterating once a round fixes fewer than this
+    # fraction of reads (the reference iterates to bounded fixpoint; late
+    # rounds fix a vanishing tail at full-pass cost — ~38 min/round at
+    # E. coli scale on this rig)
+    min_round_fixes_frac: float = 0.002
     qual_protect: int = 45         # never edit bases at/above this quality
     min_tail_len: int = 24         # CleanCorrectedReads: min kept read length
 

@@ -305,6 +305,8 @@ class Pipeline:
                 total += n_round
                 self.log(f"  [find_errors] round {r}: n_strong={int(n_strong)} "
                          f"fixes={n_round}")
+                if n_round < ecfg.min_round_fixes_frac * db.n_real:
+                    break       # fixpoint reached (adaptive round cutoff)
             np.save(rd.file_path("strong_table.npy"),
                     np.stack([np.asarray(w) for w in table]))
             rd.save_arrays("frag_reads_edit", codes=db.codes_to_host(),

@@ -75,6 +75,10 @@ def main(argv=None):
     stage_s = {name: rec.get("elapsed_s", 0.0)
                for name, rec in rd.manifest["stages"].items()}
     top3 = sorted(stage_s.items(), key=lambda kv: -kv[1])[:3]
+    stage_metrics = {name: rd.manifest["stages"][name].get("metrics", {})
+                     for name in ("make_scaffolds", "evaluate",
+                                  "clean_final", "unipaths")
+                     if name in rd.manifest["stages"]}
     metrics = {
         "genome_size": args.genome,
         "coverage": args.coverage,
@@ -85,6 +89,7 @@ def main(argv=None):
         "peak_rss_gb": round(peak_rss_gb, 2),
         "stage_wall_s": stage_s,
         "top3_stages": [[n, round(s, 1)] for n, s in top3],
+        "stage_metrics": stage_metrics,
         "report": report,
     }
     with open(os.path.join(args.run_dir, "scale_metrics.json"), "w") as f:
