@@ -182,6 +182,14 @@ def count_reads_streaming_dist(mesh: Mesh, codes, K: int, quals=None,
 
     parts = []
     recv_cap = nsh * capacity     # rows owned per shard (padded)
+    # ICI accounting (docs/scaling.md): the all_to_all moves the FIXED
+    # routing buffers — per batch, per shard: n_shards*capacity rows ×
+    # (key words + optional qual) × 4 B, of which (n_shards-1)/n_shards
+    # crosses links. Deterministic by construction (static shapes), so
+    # the byte model below IS the measurement.
+    n_words_total = bits.n_words(K) + (1 if with_quals else 0)
+    ici_bytes_per_batch_per_shard = (
+        nsh * capacity * n_words_total * 4 * (nsh - 1) // nsh)
     for s in range(0, n, bs):
         e = min(s + bs, n)
         cb = np.asarray(codes[s:e])
@@ -211,6 +219,9 @@ def count_reads_streaming_dist(mesh: Mesh, codes, K: int, quals=None,
                 np.stack([w[lo:lo + m] for w in wnp]),
                 cnp[lo:lo + m],
                 qnp[lo:lo + m] if with_quals else None))
+    n_batches = (n + bs - 1) // bs
+    count_reads_streaming_dist.last_ici_bytes = (
+        ici_bytes_per_batch_per_shard * n_batches)
     if not parts:
         W = bits.n_words(K)
         empty = kcount.CountedKmers(
