@@ -47,38 +47,55 @@ def flip_reads(codes, quals, lengths):
 
 
 def error_correct_jumps(codes, quals, lengths, pairs, table,
-                        cfg: JumpECConfig = JumpECConfig()):
+                        cfg: JumpECConfig = JumpECConfig(),
+                        batch_size: int = 65536):
     """Returns (codes, quals, lengths, pair_ok, metrics). Rows are kept
-    aligned with the input (dropped reads get length 0)."""
+    aligned with the input (dropped reads get length 0).
+
+    The device legs (prefix truncation + flip) stream in fixed-size
+    batches: a single whole-library program at genome scale (2M+ reads)
+    held multi-GB intermediates and crashed the TPU worker (r4); batches
+    also upload 2-bit packed over the ~MB/s link."""
     import numpy as _np
     from allpathslg_tpu.dtypes import packed as _pk
-    if isinstance(codes, _np.ndarray):
-        codes = _pk.device_codes(codes)       # 2-bit packed upload
-        quals = _pk.device_quals(_np.asarray(quals))
-    else:
-        codes = jnp.asarray(codes)
-        quals = jnp.asarray(quals)
-    lengths = jnp.asarray(lengths)
 
-    # 1. trusted-prefix truncation at the chimeric junction. Trim from the
-    #    START of the read (the sequencing end) — clean_reads keeps the
-    #    leading strong span, which is exactly the trusted prefix here.
+    codes_np = _np.asarray(codes)
+    quals_np = _np.asarray(quals)
+    lens_np = _np.asarray(lengths)
+    n, L = codes_np.shape
     ccfg = sec.SpectrumECConfig(K=cfg.K, min_tail_len=cfg.min_prefix_len)
-    tcodes, tlens, _ = sec.clean_reads(codes, lengths, table, ccfg)
-
-    # re-attach quals for the kept span (clean_reads shifts codes to col 0;
-    # the shift offset is recoverable as the first strong window start, but
-    # jump quals are only used for dedup priority — approximate with the
-    # original leading quals of the same length)
-    tquals = jnp.where(jnp.arange(codes.shape[1])[None, :] < tlens[:, None],
-                       quals, 0).astype(jnp.uint8)
-
-    # 2. flip outies → innies
-    fcodes, fquals = flip_reads(tcodes, tquals, tlens)
+    fcodes = _np.empty_like(codes_np)
+    fquals = _np.empty_like(quals_np)
+    ln = _np.empty(n, lens_np.dtype)
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        cb, qb, lb = codes_np[s:e], quals_np[s:e], lens_np[s:e]
+        if e - s < batch_size:
+            pad = batch_size - (e - s)
+            cb = _np.concatenate([cb, _np.full((pad, L), 4, cb.dtype)])
+            qb = _np.concatenate([qb, _np.zeros((pad, L), qb.dtype)])
+            lb = _np.concatenate([lb, _np.zeros(pad, lb.dtype)])
+        dc = _pk.device_codes(cb)
+        dq = _pk.device_quals(qb)
+        dl = jnp.asarray(lb)
+        # 1. trusted-prefix truncation at the chimeric junction. Trim
+        #    from the START of the read (the sequencing end) —
+        #    clean_reads keeps the leading strong span, which is exactly
+        #    the trusted prefix here.
+        tcodes, tlens, _ = sec.clean_reads(dc, dl, table, ccfg)
+        # re-attach quals for the kept span (jump quals are only used
+        # for dedup priority — approximate with the original leading
+        # quals of the same length)
+        tquals = jnp.where(jnp.arange(L)[None, :] < tlens[:, None],
+                           dq, 0).astype(jnp.uint8)
+        # 2. flip outies → innies
+        fc, fq = flip_reads(tcodes, tquals, tlens)
+        fcodes[s:e] = _np.asarray(fc)[: e - s]
+        fquals[s:e] = _np.asarray(fq)[: e - s]
+        ln[s:e] = _np.asarray(tlens)[: e - s]
 
     # 3. pair survival: both mates long enough
     p = np.asarray(pairs)
-    ln = np.asarray(tlens)
     pair_ok = (ln[p[:, 0]] >= cfg.min_prefix_len) & (ln[p[:, 1]] >= cfg.min_prefix_len)
 
     # 4. molecular-duplicate removal on trusted prefixes
@@ -94,8 +111,8 @@ def error_correct_jumps(codes, quals, lengths, pairs, table,
         n_dup = int((dup & pair_ok).sum())
         pair_ok &= ~dup
 
-    out_lens = np.asarray(tlens).copy()
-    bad_reads = np.ones(codes.shape[0], bool)
+    out_lens = ln.copy()
+    bad_reads = np.ones(n, bool)
     bad_reads[p[pair_ok, 0]] = False
     bad_reads[p[pair_ok, 1]] = False
     out_lens[bad_reads] = 0
@@ -105,5 +122,4 @@ def error_correct_jumps(codes, quals, lengths, pairs, table,
         "n_pairs_kept": int(pair_ok.sum()),
         "n_duplicates": n_dup,
     }
-    return (np.asarray(fcodes), np.asarray(fquals), out_lens,
-            pair_ok, metrics)
+    return (fcodes, fquals, out_lens, pair_ok, metrics)
