@@ -137,6 +137,86 @@ def _chain_phase(table: Tuple[jnp.ndarray, ...], K: int):
     return head, dist, vals, outdeg, nxt
 
 
+@functools.partial(jax.jit, static_argnames=("K", "b"))
+def _succ_probe(table: Tuple[jnp.ndarray, ...], vals: Tuple[jnp.ndarray, ...],
+                K: int, b: int):
+    """One base's successor probe (shift-append + canonical + join)."""
+    s = bits.shift_append(list(vals), jnp.uint32(b), K)
+    canon, is_rc = bits.canonical(s, K)
+    idx, found = join.searchsorted_words(list(table), canon)
+    node = idx * 2 + is_rc.astype(jnp.int32)
+    return node, found
+
+
+@jax.jit
+def _chain_links(succ0, found0, succ1, found1, succ2, found2, succ3, found3):
+    """Combine per-base probes into (outdeg, nxt, prv, is_head_seed)."""
+    outdeg = (found0.astype(jnp.int32) + found1.astype(jnp.int32)
+              + found2.astype(jnp.int32) + found3.astype(jnp.int32))
+    succ = jnp.full_like(succ0, -1)
+    for s, f in ((succ0, found0), (succ1, found1),
+                 (succ2, found2), (succ3, found3)):
+        succ = jnp.where(f, s, succ)
+    n_nodes = succ.shape[0]
+    node_ids = jnp.arange(n_nodes, dtype=jnp.int32)
+    uniq_succ = jnp.where(outdeg == 1, succ, -1)
+    y = uniq_succ
+    ok = (y >= 0) & (outdeg[jnp.maximum(y, 0) ^ 1] == 1)
+    nxt = jnp.where(ok, y, -1)
+    nf = nxt[node_ids ^ 1]
+    prv = jnp.where(nf >= 0, nf ^ 1, -1)
+    return outdeg, nxt, prv
+
+
+@jax.jit
+def _double_min(ptr, lab):
+    return ptr[ptr], jnp.minimum(lab, lab[ptr])
+
+
+@jax.jit
+def _double_dist(ptr, dist):
+    return ptr[ptr], dist + dist[ptr]
+
+
+def _chain_phase_chunked(table: Tuple[jnp.ndarray, ...], K: int):
+    """_chain_phase semantics in BOUNDED device dispatches: at multi-M
+    node counts the single fused program runs minutes over the axon
+    tunnel and the remote worker dies mid-execution (observed r4 at
+    9.4M oriented nodes); slicing the probes and each pointer-doubling
+    round into separate dispatches keeps every program short. Outputs
+    are identical to _chain_phase."""
+    table = list(table)
+    M = int(table[0].shape[0])
+    n_nodes = 2 * M
+    vals = _node_values(table, K)
+    probes = [_succ_probe(tuple(table), tuple(vals), K, b)
+              for b in range(4)]
+    args = []
+    for node, found in probes:
+        args += [node, found]
+    outdeg, nxt, prv = _chain_links(*args)
+
+    n_iter = max(1, int(np.ceil(np.log2(max(n_nodes, 2)))) + 1)
+    node_ids = jnp.arange(n_nodes, dtype=jnp.int32)
+    ptr = jnp.where(prv >= 0, prv, node_ids)
+    lab = node_ids
+    for _ in range(n_iter):
+        ptr, lab = _double_min(ptr, lab)
+    in_cycle = prv[ptr] >= 0
+    is_head = (prv < 0) | (in_cycle & (lab == node_ids))
+    prv2 = jnp.where(is_head, -1, prv)
+    ptr = jnp.where(prv2 >= 0, prv2, node_ids)
+    dist = jnp.where(is_head, 0, 1).astype(jnp.int32)
+    for _ in range(n_iter):
+        ptr, dist = _double_dist(ptr, dist)
+    return ptr, dist, vals, outdeg, nxt
+
+
+# fused-program node-count ceiling: above this build_unipaths uses the
+# chunked dispatches (the fused one is marginally faster for small tables)
+_FUSED_MAX_NODES = 2 << 20
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def _order_phase(head, dist, K: int):
     """Phase 2: sort nodes by (head, dist); chain bookkeeping + rc dedupe.
@@ -209,7 +289,10 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
                 urc=np.zeros(0, bool)))
         return out[0] if len(out) == 1 else tuple(out)
 
-    head, dist, vals, outdeg, nxt = _chain_phase(tuple(tw), K)
+    if 2 * M > _FUSED_MAX_NODES:
+        head, dist, vals, outdeg, nxt = _chain_phase_chunked(tuple(tw), K)
+    else:
+        head, dist, vals, outdeg, nxt = _chain_phase(tuple(tw), K)
     order, starts, rl, chain_len, keep, start_pos = _order_phase(head, dist, K)
 
     # host: gather kept-chain structure (stage boundary; sizes become static)

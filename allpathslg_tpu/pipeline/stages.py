@@ -360,6 +360,10 @@ class Pipeline:
         ih = rd.hash_of("fill", self._art_hash("frag_reads_corr"))
 
         def fn():
+            # the EC chain is done with the resident read cache — free its
+            # HBM before the fill/count stages allocate their own buffers
+            # (worker-side memory pressure at genome scale)
+            self._read_cache.clear()
             a = rd.load_arrays("frag_reads_corr", mmap=True)
             codes, lengths, quals = a["codes"], a["lengths"], a["quals"]
             pairs = a.get("pairs")

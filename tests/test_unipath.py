@@ -118,3 +118,27 @@ def test_min_count_filters_error_kmers():
     st = stats.assembly_stats(ups.lengths(), min_len=100)
     assert st["total_bases"] > 0.9 * 5000
     assert st["n50"] > 1000
+
+
+def test_chain_phase_chunked_matches_fused():
+    """The bounded-dispatch condensation (used above _FUSED_MAX_NODES to
+    keep single programs short over the axon tunnel) must reproduce the
+    fused _chain_phase exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from allpathslg_tpu.graph import unipath as gup
+    from allpathslg_tpu.kmer import count as kcount
+    from allpathslg_tpu.eval import sim
+
+    g = sim.random_genome(3000, seed=41)
+    rb, _, _ = sim.simulate_paired_reads(g, coverage=12, error_rate=0.0,
+                                         seed=42)
+    ck = kcount.trim_to_host(kcount.count_reads_streaming(
+        np.asarray(rb.codes), 32))
+    tw = tuple(jnp.asarray(w) for w in ck.words)
+    h1, d1, v1, o1, n1 = gup._chain_phase(tw, 32)
+    h2, d2, v2, o2, n2 = gup._chain_phase_chunked(tw, 32)
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+    assert np.array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.array_equal(np.asarray(n1), np.asarray(n2))
