@@ -251,11 +251,32 @@ class UniGraph:
     fb: np.ndarray   # bool [E]
 
 
+def _chain_sums_ring(mesh, node_counts: np.ndarray,
+                     starts_np: np.ndarray) -> np.ndarray:
+    """Per-position inclusive within-chain count sums, computed
+    position-sharded over the mesh via parallel.ring (P9): pad to a
+    shard-divisible length (padding rows are their own 1-element
+    segments so no carry leaks), run the cross-shard segmented cumsum,
+    return the host array."""
+    from allpathslg_tpu.parallel.ring import ring_segmented_cumsum
+    n_sh = int(mesh.devices.size)
+    T = len(node_counts)
+    Tp = -(-T // n_sh) * n_sh
+    vals = np.zeros(Tp, np.int64)
+    vals[:T] = node_counts
+    sts = np.ones(Tp, bool)
+    sts[:T] = starts_np
+    seg = np.asarray(ring_segmented_cumsum(
+        mesh, jnp.asarray(vals), jnp.asarray(sts)))
+    return seg[:T]
+
+
 def build_unipaths(table_words: List[jnp.ndarray], K: int,
                    min_count: int = 2,
                    counts: jnp.ndarray = None,
                    with_graph: bool = False,
-                   with_placement: bool = False):
+                   with_placement: bool = False,
+                   mesh=None):
     """Host driver: kmer table (sorted canonical, possibly padded with
     sentinels + counts) → unipaths with base sequences (and optionally the
     oriented unipath adjacency graph).
@@ -321,8 +342,18 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
     mean_cov = None
     if counts_f is not None:
         node_counts = counts_f[order_np >> 1]  # node -> its canonical kmer
-        csum = np.concatenate([[0], np.cumsum(node_counts)])
-        mean_cov = ((csum[chain_starts + lens] - csum[chain_starts])
+        if mesh is not None and len(node_counts):
+            # P9 (SURVEY §2.7): chain totals via the cross-shard segmented
+            # scan over the position-sharded chain-sorted count stream —
+            # only the O(n_shards) boundary carry crosses devices
+            # (parallel/ring.py). Integer-exact, so artifacts stay
+            # byte-identical to the 1-device path.
+            seg = _chain_sums_ring(mesh, node_counts, starts_np)
+            chain_sums = seg[chain_starts + lens - 1]
+        else:
+            csum = np.concatenate([[0], np.cumsum(node_counts)])
+            chain_sums = csum[chain_starts + lens] - csum[chain_starts]
+        mean_cov = (chain_sums
                     / np.maximum(lens, 1)).astype(np.float32)
 
     ups = Unipaths(bases=np.asarray(bases), offsets=seq_off,

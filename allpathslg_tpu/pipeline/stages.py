@@ -460,7 +460,8 @@ class Pipeline:
             t0 = _t.perf_counter()
             ups, graph, placement = unipath.build_unipaths(
                 ck_acc.words, cfg.K, min_count=cfg.min_kmer_count,
-                counts=ck_acc.counts, with_graph=True, with_placement=True)
+                counts=ck_acc.counts, with_graph=True, with_placement=True,
+                mesh=self._mesh)
             self.log(f"  [unipaths] condense: {_t.perf_counter() - t0:.1f}s "
                      f"({ups.n} unipaths)")
             # localization: path the filled reads (= insert walks) through
