@@ -189,6 +189,32 @@ def precorrect_stats_batch_packed(words, nmask, qnib, qpal, L: int):
                                   pk.unpack_quals(qnib, qpal, L))
 
 
+@functools.partial(jax.jit, static_argnames=("L", "n_blocks"))
+def precorrect_stats_batch_packed_blocked(words, nmask, qnib, qpal, L: int,
+                                          blk, n_blocks: int):
+    """Hash-block slice of the batch stack stats (ref: NaifKmerizer
+    hash-block passes): rows whose context-hash block != blk become
+    sentinels, so per-block unique volume is ~1/n_blocks and the global
+    accumulator never spills off-device (the axon link makes host spills
+    the e2e wall at genome scale). `blk` is traced — one compile serves
+    all blocks."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    codes = pk.unpack_codes(words, nmask, L)
+    quals = pk.unpack_quals(qnib, qpal, L)
+    from allpathslg_tpu.kmer import count as kcount
+
+    key, center, _, valid, _ = _orient_windows(codes, quals)
+    h = bits.hash_words([w.reshape(-1) for w in key])
+    vm = valid.reshape(-1) & ((h % jnp.uint32(n_blocks))
+                              == jnp.uint32(0) + blk)
+    sent = jnp.uint32(0xFFFFFFFF)
+    ws = [jnp.where(vm, w.reshape(-1), sent) for w in key]
+    ws.append(jnp.where(vm, center.reshape(-1).astype(jnp.uint32), sent))
+    skeys, counts, starts = kcount.count_sorted(ws)
+    return kcount.compact_table(skeys, counts, starts)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "cfg"))
 def precorrect_apply_batch_packed(words, nmask, qnib, qpal, L: int,
                                   table_words, table_counts,
@@ -246,22 +272,53 @@ def precorrect_apply_batch(codes, quals, table_words, table_counts,
     return out, jnp.sum(do_fix)
 
 
-def precorrect_global_resident(db, cfg: PrecorrectConfig = PrecorrectConfig()):
+def precorrect_global_resident(db, cfg: PrecorrectConfig = PrecorrectConfig(),
+                               log=None, n_blocks: int = None):
     """Two-pass global pre-correction over a DEVICE-RESIDENT batch cache
     (dtypes/devcache.DeviceBatches): zero read uploads — pass 1 builds
     the global stack table from resident batches, pass 2 corrects them
     in place (packed outputs replace the resident words; nothing crosses
-    the ~MB/s host->device link). Returns n_corrections."""
+    the ~MB/s host->device link). Returns n_corrections.
+
+    Pass 1 runs in HASH-BLOCK passes (ref: NaifKmerizer's hash-block
+    multi-pass driving PreCorrect): at genome scale the raw
+    (context, base) table is dominated by error singletons (~1 novel
+    context per error-read position) and a single-pass accumulator
+    spills multi-GB to host — which the ~MB/s axon link turns into the
+    pipeline wall. Blocks partition the key space, so the per-block
+    min_count>=2 filter kills singletons with GLOBALLY correct
+    semantics, each block's accumulator stays resident, and only the
+    small filtered block tables survive (concat + recount on device)."""
     from allpathslg_tpu.kmer import count as kcount
 
-    sc = kcount.StreamingCounter()
-    for i in range(db.n_batches):
-        sc.add(precorrect_stats_batch_packed(
-            db.words[i], db.nmask[i], db.qnib[i], db.qpal[i], db.L))
-    merged = kcount.pad_table_quantized(
-        sc.finish(min_count=min(2, cfg.min_winner)))
+    say = log or (lambda *a: None)
+    rows_per_batch = db.batch * max(db.L - K_PRE + 1, 1)
+    total_rows = db.n_batches * rows_per_batch
+    # worst-case uniques ~ 0.5x raw rows (error singletons); keep each
+    # block's accumulator ~<=0.75 GB of HBM (5 arrays x 4 B per row)
+    if n_blocks is None:
+        n_blocks = max(1, -(-int(total_rows * 0.5) * 20 // (768 << 20)))
+    say(f"  [precorrect] pass 1: {db.n_batches} batches x "
+        f"{n_blocks} hash blocks")
+    block_tables = []
+    for blk in range(n_blocks):
+        sc = kcount.StreamingCounter()
+        for i in range(db.n_batches):
+            sc.add(precorrect_stats_batch_packed_blocked(
+                db.words[i], db.nmask[i], db.qnib[i], db.qpal[i], db.L,
+                jnp.uint32(blk), n_blocks))
+        t = sc.finish(min_count=min(2, cfg.min_winner))
+        block_tables.append(t)
+        say(f"  [precorrect] block {blk}: {int(t.n_unique)} strong rows")
+    if len(block_tables) > 1:
+        # disjoint key spaces: recount = sorted merge, stays on device
+        merged = kcount.merge_tables(block_tables)
+    else:
+        merged = block_tables[0]
+    merged = kcount.pad_table_quantized(merged)
     tw, tc = list(merged.words), merged.counts
 
+    say(f"  [precorrect] pass 2: voting {db.n_batches} batches")
     total = 0
     for i in range(db.n_batches):
         ow, om, k = precorrect_apply_batch_packed(

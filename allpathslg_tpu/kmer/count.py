@@ -465,6 +465,16 @@ def _slice_table(ck: CountedKmers, cap: int) -> CountedKmers:
                         n_unique=ck.n_unique)
 
 
+def merge_tables(tabs: List[CountedKmers]) -> CountedKmers:
+    """Merge finished tables entirely on device: concat + recount +
+    compact front slice. With disjoint key sets (hash-block partitions,
+    ec/precorrect pass 1) this is a pure sorted merge; duplicate keys
+    across tabs sum counts/qsums."""
+    merged = _concat_recount(tabs)
+    cap = _quantize_capacity(int(merged.n_unique))
+    return _slice_table(merged, cap)
+
+
 def _filter_counted(ck: CountedKmers, min_count: int, min_qsum: int
                     ) -> CountedKmers:
     if min_count <= 1 and min_qsum <= 0:

@@ -251,7 +251,8 @@ class Pipeline:
             # (per-batch stacks starve below min_winner at genome scale);
             # reads upload ONCE and corrected codes stay device-resident
             db = self._resident_batches("frag_reads_filt")
-            total = pc.precorrect_global_resident(db, cfg.precorrect)
+            total = pc.precorrect_global_resident(db, cfg.precorrect,
+                                                  log=self.log)
             out = db.codes_to_host()
             rd.save_arrays("frag_reads_prec", codes=out,
                            lengths=a["lengths"], quals=a["quals"],

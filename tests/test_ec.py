@@ -138,3 +138,30 @@ def test_precorrect_global_pools_evidence_across_batches():
     assert int_after < 0.35 * int_before, (int_before, int_after)
     newly_wrong = ((fixed_g != true) & (codes == true)).sum()
     assert newly_wrong <= max(2, 0.001 * int_before), newly_wrong
+
+
+def test_precorrect_resident_blocked_matches_unblocked():
+    """Hash-block pass-1 (the genome-scale spill fix) must produce exactly
+    the same corrections as a single global pass: blocks partition the key
+    space, so per-block min_count filtering is globally correct."""
+    import numpy as np
+    from allpathslg_tpu.dtypes.devcache import DeviceBatches
+    from allpathslg_tpu.ec import precorrect as pc
+    from allpathslg_tpu.eval import sim
+
+    g = sim.random_genome(8000, seed=5)
+    b, _, _ = sim.simulate_paired_reads(g, coverage=25, error_rate=0.01,
+                                        read_len=60, seed=5)
+    codes, quals = np.asarray(b.codes), np.asarray(b.quals)
+    cfg = pc.PrecorrectConfig()
+
+    db1 = DeviceBatches.from_host(codes, quals, batch_size=512)
+    n1 = pc.precorrect_global_resident(db1, cfg, n_blocks=1)
+    out1 = db1.codes_to_host()
+
+    db3 = DeviceBatches.from_host(codes, quals, batch_size=512)
+    n3 = pc.precorrect_global_resident(db3, cfg, n_blocks=3)
+    out3 = db3.codes_to_host()
+
+    assert n1 == n3 and n1 > 0
+    assert (out1 == out3).all()
