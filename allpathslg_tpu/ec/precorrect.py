@@ -295,7 +295,9 @@ def precorrect_global_resident(db, cfg: PrecorrectConfig = PrecorrectConfig(),
     rows_per_batch = db.batch * max(db.L - K_PRE + 1, 1)
     total_rows = db.n_batches * rows_per_batch
     # worst-case uniques ~ 0.5x raw rows (error singletons); keep each
-    # block's accumulator ~<=0.75 GB of HBM (5 arrays x 4 B per row)
+    # block's accumulator ~<=0.75 GB of HBM. Tables hold 4 arrays x 4 B
+    # per row (3 key words + counts); the 20 B/row figure keeps ~25%
+    # deliberate slack for sort scratch.
     if n_blocks is None:
         n_blocks = max(1, -(-int(total_rows * 0.5) * 20 // (768 << 20)))
     say(f"  [precorrect] pass 1: {db.n_batches} batches x "

@@ -262,7 +262,16 @@ def _chain_sums_ring(mesh, node_counts: np.ndarray,
     n_sh = int(mesh.devices.size)
     T = len(node_counts)
     Tp = -(-T // n_sh) * n_sh
-    vals = np.zeros(Tp, np.int64)
+    # int32 on BOTH paths (x64 is disabled repo-wide, so jnp would silently
+    # downcast an int64 alloc anyway): guard the worst-case per-chain sum so
+    # device accumulation can't wrap where the host fallback (which promotes
+    # to int64 under np.cumsum) wouldn't — byte-identity depends on it.
+    total = int(np.asarray(node_counts, np.int64).sum())
+    if total >= 2**31:
+        raise OverflowError(
+            f"chain count sum {total} >= 2^31: int32 ring scan would wrap; "
+            "chunk the count stream or raise the EC max_freq cap")
+    vals = np.zeros(Tp, np.int32)
     vals[:T] = node_counts
     sts = np.ones(Tp, bool)
     sts[:T] = starts_np
@@ -347,7 +356,11 @@ def build_unipaths(table_words: List[jnp.ndarray], K: int,
             # scan over the position-sharded chain-sorted count stream —
             # only the O(n_shards) boundary carry crosses devices
             # (parallel/ring.py). Integer-exact, so artifacts stay
-            # byte-identical to the 1-device path.
+            # byte-identical to the 1-device path. Tradeoff (ADVICE r4):
+            # counts_f is host numpy either way, so on a thin host<->device
+            # link this upload+scan+download can lose to np.cumsum; it is
+            # kept as the product consumer of the ring scan because on real
+            # multi-chip meshes the stream arrives already device-sharded.
             seg = _chain_sums_ring(mesh, node_counts, starts_np)
             chain_sums = seg[chain_starts + lens - 1]
         else:

@@ -49,7 +49,7 @@ def _ring_body(values, starts):
 
     init = (jnp.zeros((), values.dtype), jnp.zeros((), jnp.bool_))
     # the carry depends on axis_index → mark it axis-varying for shard_map
-    init = tuple(lax.pvary(x, (AXIS,)) for x in init)
+    init = tuple(lax.pcast(x, (AXIS,), to="varying") for x in init)
     carry, _ = lax.fori_loop(0, n, body, init)
 
     first_start = jnp.min(jnp.where(starts, idx, values.shape[0]))

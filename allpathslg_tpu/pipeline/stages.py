@@ -78,6 +78,57 @@ def _pad_batch(arr, batch_size, pad_value):
     return np.concatenate([arr, padding]), n
 
 
+class StageTimeout(Exception):
+    """A stage exceeded cfg.stage_timeout_s (raised IN the stage thread)."""
+
+
+class _StageWatchdog:
+    """Per-stage heartbeat + wall-clock guard (VERDICT r4 weak 8: a wedged
+    device leg ate 34 min of a round with zero log output).
+
+    A daemon thread logs `[stage] heartbeat ...` every heartbeat_s, and —
+    when timeout_s > 0 — async-raises StageTimeout in the thread running
+    the stage once wall-clock exceeds it. The stage fails before mark_done,
+    so the manifest resumes exactly there. Limitation: the raise lands at
+    the next Python bytecode, so a leg blocked inside one long C call only
+    dies on return; the heartbeat still makes the stall visible."""
+
+    def __init__(self, name, t0, heartbeat_s, timeout_s, log):
+        import threading
+        self._stop = threading.Event()
+        self._thread = None
+        polls = [x for x in (heartbeat_s, timeout_s) if x and x > 0]
+        if not polls:
+            return
+        target_tid = threading.get_ident()
+
+        def watch():
+            poll = max(0.25, min(polls) / 4.0)
+            next_beat = heartbeat_s if heartbeat_s else float("inf")
+            while not self._stop.wait(poll):
+                dt = time.time() - t0
+                if timeout_s and dt > timeout_s:
+                    log(f"[{name}] WATCHDOG: {dt:.0f}s > stage_timeout_s="
+                        f"{timeout_s}; raising StageTimeout in stage thread")
+                    import ctypes
+                    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                        ctypes.c_ulong(target_tid),
+                        ctypes.py_object(StageTimeout))
+                    return
+                if dt >= next_beat:
+                    log(f"[{name}] heartbeat: running for {dt:.0f}s")
+                    next_beat += heartbeat_s
+
+        self._thread = threading.Thread(target=watch, daemon=True,
+                                        name=f"watchdog-{name}")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+
 class Pipeline:
     """Stage DAG executor with manifest-based resume (ref: make dependency
     semantics of RunAllPathsLG, SURVEY.md §3.1/§5.4)."""
@@ -147,12 +198,17 @@ class Pipeline:
             raise RuntimeError(f"injected fault in stage {name}")
         t0 = time.time()
         self.log(f"[{name}] running...")
-        if self.cfg.profile_dir:
-            import jax
-            with jax.profiler.trace(f"{self.cfg.profile_dir}/{name}"):
+        watch = _StageWatchdog(name, t0, self.cfg.stage_heartbeat_s,
+                               self.cfg.stage_timeout_s, self.log)
+        try:
+            if self.cfg.profile_dir:
+                import jax
+                with jax.profiler.trace(f"{self.cfg.profile_dir}/{name}"):
+                    metrics = fn() or {}
+            else:
                 metrics = fn() or {}
-        else:
-            metrics = fn() or {}
+        finally:
+            watch.stop()
         dt = time.time() - t0
         self.rd.mark_done(name, inputs_hash, outputs, metrics, dt)
         self.log(f"[{name}] done in {dt:.1f}s {metrics}")

@@ -50,6 +50,43 @@ def test_fault_injection_then_resume(tmp_path):
     assert "find_errors" in rd2.manifest["stages"]
 
 
+def test_watchdog_trips_on_stalled_stage(tmp_path):
+    """A deliberately-stalled stage must trip the wall-clock guard: the
+    watchdog raises StageTimeout in the stage thread, the stage is NOT
+    marked done, and the log carries the WATCHDOG line (VERDICT r4 weak 8)."""
+    import time
+
+    from allpathslg_tpu.pipeline.stages import StageTimeout
+
+    lines = []
+    rd = RunDir(str(tmp_path / "wrun"))
+    cfg = AssemblyConfig.from_overrides(
+        K=48, stage_timeout_s=1, stage_heartbeat_s=1)
+    pipe = Pipeline(rd, cfg, log=lambda *a: lines.append(" ".join(map(str, a))))
+
+    def stalled():
+        for _ in range(600):
+            time.sleep(0.05)  # python-level stall: async raise can land
+
+    with pytest.raises(StageTimeout):
+        pipe.run_stage("stalled_stage", "h0", [], stalled)
+    assert any("WATCHDOG" in l for l in lines)
+    assert "stalled_stage" not in rd.manifest["stages"]
+
+
+def test_watchdog_heartbeat_logs_progress(tmp_path):
+    import time
+
+    lines = []
+    rd = RunDir(str(tmp_path / "hrun"))
+    cfg = AssemblyConfig.from_overrides(K=48, stage_heartbeat_s=1)
+    pipe = Pipeline(rd, cfg, log=lambda *a: lines.append(" ".join(map(str, a))))
+    pipe.run_stage("slow_stage", "h1", [], lambda: time.sleep(2.5))
+    beats = [l for l in lines if "heartbeat" in l]
+    assert beats, lines
+    assert "slow_stage" in rd.manifest["stages"]
+
+
 def test_full_run_emits_submission_and_libcoverage(tmp_path):
     rd, pipe = _mk(tmp_path, batch_reads=8192)
     pipe.run_full()
