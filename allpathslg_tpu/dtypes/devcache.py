@@ -98,6 +98,7 @@ class DeviceBatches:
 
     def codes_to_host(self) -> np.ndarray:
         """Download + unpack all batches -> [n_real, L] uint8 codes."""
+        self.n_host_downloads = getattr(self, "n_host_downloads", 0) + 1
         outs = []
         for w, m in zip(self.words, self.nmask):
             outs.append(pk.unpack_codes_host(np.asarray(w), np.asarray(m),

@@ -236,6 +236,115 @@ def count_reads_streaming_dist(mesh: Mesh, codes, K: int, quals=None,
                                     spectrum_max_freq=spectrum_max_freq)
 
 
+def _count_step_local_packed(words_blk, nmask_blk, q1, q2,
+                             L: int, K: int, capacity: int,
+                             qual_mode: str):
+    """_count_step_local over a 2-bit packed read shard: unpack fuses into
+    the per-shard program, so resident packed batches (dtypes/devcache)
+    feed the distributed counter with ZERO host round-trips.
+
+    qual_mode: 'palette' (q1=nibbles, q2=palette), 'raw' (q1=qual matrix),
+    or 'none' (q1/q2 ignored)."""
+    from allpathslg_tpu.dtypes import packed as pk
+
+    codes_blk = pk.unpack_codes(words_blk, nmask_blk, L)
+    if qual_mode == "palette":
+        quals_blk = pk.unpack_quals(q1, q2, L)
+    elif qual_mode == "raw":
+        quals_blk = q1
+    else:
+        quals_blk = jnp.zeros(codes_blk.shape, jnp.uint8)
+    return _count_step_local(codes_blk, quals_blk, K=K, capacity=capacity,
+                             with_quals=qual_mode != "none")
+
+
+def count_resident_streaming_dist(mesh: Mesh, db, K: int,
+                                  min_count: int = 0, min_qsum: int = 0,
+                                  spectrum_max_freq: int = None,
+                                  capacity_factor: float = 3.0):
+    """Mesh-distributed count over a DeviceBatches resident cache (VERDICT
+    r4 weak 4 / Next 6): the mesh find_errors path previously downloaded
+    the whole read set every EC round; here each resident packed batch
+    enters the shard_map directly (rows resharded over the mesh axis by
+    GSPMD), kmers hash-route to owner shards, and per-shard compact tables
+    merge through the SAME host merge as every other path — tables stay
+    byte-identical to the 1-device run."""
+    import numpy as np
+    from allpathslg_tpu.parallel import mesh as pmesh
+
+    nsh = mesh.devices.size
+    if db.batch % nsh:
+        raise ValueError(f"batch_reads={db.batch} not divisible by "
+                         f"mesh size {nsh}")
+    L = db.L
+    P_ = L - K + 1
+    per_shard = (db.batch // nsh) * P_
+    capacity = int(capacity_factor * per_shard / nsh) + 16
+    capacity = -(-capacity // 8) * 8
+    have_q = bool(db.qpal) and db.qpal[0] is not None
+    qual_mode = ("none" if not have_q
+                 else "palette" if db.qnib[0] is not None else "raw")
+    with_quals = qual_mode != "none"
+
+    fn = functools.partial(_count_step_local_packed, L=L, K=K,
+                           capacity=capacity, qual_mode=qual_mode)
+    q2_spec = P() if qual_mode == "palette" else P(AXIS)
+    mapped = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), q2_spec),
+        out_specs=([P(AXIS)] * bits.n_words(K), P(AXIS), P(AXIS),
+                   P(AXIS), P()),
+    ))
+
+    parts = []
+    recv_cap = nsh * capacity
+    n_words_total = bits.n_words(K) + (1 if with_quals else 0)
+    ici_bytes_per_batch_per_shard = (
+        nsh * capacity * n_words_total * 4 * (nsh - 1) // nsh)
+    dummy1 = jnp.zeros((db.batch, 1), jnp.uint32)
+    dummy2 = jnp.zeros((db.batch, 1), jnp.uint32)
+    for i in range(db.n_batches):
+        if qual_mode == "palette":
+            q1, q2 = db.qnib[i], db.qpal[i]
+        elif qual_mode == "raw":
+            q1, q2 = db.qpal[i], dummy2
+        else:
+            q1, q2 = dummy1, dummy2
+        out = mapped(db.words[i], db.nmask[i], q1, q2)
+        words, counts, qsum, nu, dropped = out
+        if int(np.asarray(dropped)) != 0:
+            raise RuntimeError(
+                f"resident distributed count capacity overflow (batch {i}):"
+                f" raise capacity_factor above {capacity_factor}")
+        wnp = [np.asarray(w) for w in words]
+        cnp = np.asarray(counts)
+        qnp = np.asarray(qsum)
+        nunp = np.asarray(nu)
+        for s in range(nsh):
+            m = int(nunp[s])
+            if m == 0:
+                continue
+            lo = s * recv_cap
+            parts.append((
+                np.stack([w[lo:lo + m] for w in wnp]),
+                cnp[lo:lo + m],
+                qnp[lo:lo + m] if with_quals else None))
+    count_resident_streaming_dist.last_ici_bytes = (
+        ici_bytes_per_batch_per_shard * db.n_batches)
+    if not parts:
+        W = bits.n_words(K)
+        empty = kcount.CountedKmers(
+            words=[jnp.zeros(0, jnp.uint32)] * W,
+            counts=jnp.zeros(0, jnp.int32),
+            qsum=jnp.zeros(0, jnp.int32) if with_quals else None,
+            n_unique=jnp.asarray(0, jnp.int32))
+        if spectrum_max_freq is not None:
+            return empty, np.zeros(spectrum_max_freq + 1, np.int64)
+        return empty
+    return kcount._merge_host_parts(parts, min_count, min_qsum,
+                                    spectrum_max_freq=spectrum_max_freq)
+
+
 def table_via_sample_sort(mesh: Mesh, codes, K: int,
                           batch_size: int = 65536, min_count: int = 0):
     """K-mer table build through the distributed sample sort (SURVEY.md

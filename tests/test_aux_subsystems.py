@@ -50,6 +50,33 @@ def test_fault_injection_then_resume(tmp_path):
     assert "find_errors" in rd2.manifest["stages"]
 
 
+def test_validate_per_library_spectra(tmp_path):
+    """validate_inputs computes a K=25 spectrum for EVERY library — frag AND
+    jump (ref: ValidateAllPathsInputs per-library 25-mer kspec) — and the
+    artifact name matches the K actually computed."""
+    rd, pipe = _mk(tmp_path, batch_reads=4096)
+    m = pipe.validate_inputs()
+    assert "libraries" in m and "frag" in m["libraries"]
+    assert "jump0" in m["libraries"]
+    jrow = m["libraries"]["jump0"]
+    assert jrow["n_reads"] > 0 and jrow["n_kmers_distinct"] > 0
+    a = rd.load_arrays("kspec_25mer")
+    assert "spectrum" in a and "spectrum_jump0" in a
+    # K=25 truly: distinct 25-mers ≈ genome size (small genome, tails differ)
+    assert 0.7 < m["genome_size_est"] / 30000 < 1.3
+
+
+def test_validate_rejects_malformed_jump_pairs(tmp_path):
+    rd, pipe = _mk(tmp_path, batch_reads=4096)
+    j = rd.load_arrays("jump_reads_orig")
+    bad = {k: np.asarray(v) for k, v in j.items()}
+    bad["pairs"] = bad["pairs"].copy()
+    bad["pairs"][0, 1] = len(bad["lengths"]) + 5  # out of range
+    rd.save_arrays("jump_reads_orig", **bad)
+    with pytest.raises(ValueError, match="out of range"):
+        pipe.validate_inputs()
+
+
 def test_watchdog_trips_on_stalled_stage(tmp_path):
     """A deliberately-stalled stage must trip the wall-clock guard: the
     watchdog raises StageTimeout in the stage thread, the stage is NOT

@@ -57,6 +57,26 @@ def test_mesh_artifacts_byte_identical(both_runs):
     assert t1.tobytes() == t8.tobytes()
 
 
+def test_mesh_ec_zero_read_roundtrips(tmp_path):
+    """VERDICT r4 Next 6: the mesh find_errors path must count from the
+    RESIDENT packed batches — the only read-set download is the final
+    artifact save, regardless of how many EC rounds ran."""
+    rd = RunDir(str(tmp_path / "meshec"))
+    log = lambda *a: None
+    prepare_sim_inputs(rd, 20000, 40.0, 0.01, 100, 5, log)
+    cfg = AssemblyConfig.from_overrides(batch_reads=4096, n_devices=8,
+                                        stage_workers=1)
+    pipe = Pipeline(rd, cfg, log)
+    pipe.remove_dodgy()
+    pipe.precorrect()
+    db = pipe._read_cache["frag_reads_prec"]
+    before = getattr(db, "n_host_downloads", 0)
+    m = pipe.find_errors()
+    assert m["n_corrections"] > 0
+    after = getattr(db, "n_host_downloads", 0)
+    assert after - before == 1, (before, after)  # only the artifact save
+
+
 def test_mesh_report_identical(both_runs):
     _, rep1, _, rep8 = both_runs
     for k in ("contig_n50", "scaffold_n50", "total_bases", "n_contigs"):
