@@ -58,6 +58,10 @@ class AlignConfig:
     max_hits_per_seed: int = 8  # repeat guard
     max_mismatch_frac: float = 0.06
     require_unique: bool = True
+    rescue_band: int = 8        # banded-DP rescue half-width for reads whose
+                                # winning placement fails gap-free verify
+                                # (ref: QueryLookupTable seed-extend through
+                                # SmithWatBandedA, SURVEY §3.5); 0 = off
 
 
 def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
@@ -199,9 +203,6 @@ def _vote_and_verify(read_id, contig, diag, orient, ok,
     # runner-up (uniqueness test): best among the read's OTHER placements
     is_win_row = vstart & (rr < N) & \
         (win_idx[jnp.minimum(rr, N - 1)] == idx)
-    packed2 = jnp.where(vstart & ~is_win_row, packed, 0)
-    win2 = jnp.zeros(N, jnp.int32).at[rr].max(packed2, mode="drop")
-    run2 = win2 >> IB
 
     has = win_votes > 0
     safe_idx = jnp.minimum(win_idx, T - 1)
@@ -209,6 +210,23 @@ def _vote_and_verify(read_id, contig, diag, orient, ok,
     wdo = skeys[2][safe_idx].astype(jnp.int32)
     win_diag = jnp.where(has, (wdo >> 1) - 2 * L, 0)
     win_orient = jnp.where(has, wdo & 1, 0)
+
+    # a same-locus runner-up (same contig+orient, diagonal within the
+    # rescue band) is the OTHER side of an indel, not a competing
+    # placement — exclude it from the ambiguity test so gapped rescue
+    # can accept the read (ref: QueryLookupTable groups seed hits by
+    # approximate diagonal before extension)
+    tol = max(cfg.rescue_band, 1)
+    rr_safe = jnp.minimum(rr, N - 1)
+    cand_c = skeys[1].astype(jnp.int32)
+    cand_do2 = skeys[2].astype(jnp.int32)
+    near = ((cand_c == win_contig[rr_safe])
+            & ((cand_do2 & 1) == win_orient[rr_safe])
+            & (jnp.abs(((cand_do2 >> 1) - 2 * L)
+                       - win_diag[rr_safe]) <= tol))
+    packed2 = jnp.where(vstart & ~is_win_row & ~near, packed, 0)
+    win2 = jnp.zeros(N, jnp.int32).at[rr].max(packed2, mode="drop")
+    run2 = win2 >> IB
 
     # verification: compare read to contig segment
     total = flat_bases.shape[0]
@@ -231,9 +249,65 @@ def _vote_and_verify(read_id, contig, diag, orient, ok,
 
     max_mm = (cfg.max_mismatch_frac * lengths.astype(jnp.float32)).astype(jnp.int32)
     aligned = (win_contig >= 0) & (n_in >= (lengths * 9) // 10) & (mm <= max_mm)
-    if cfg.require_unique:
-        aligned = aligned & (run2 * 2 < win_votes)
-    return win_contig, win_diag, win_orient.astype(bool), mm, aligned
+    unique_ok = (run2 * 2 < win_votes) if cfg.require_unique \
+        else jnp.ones_like(aligned)
+    aligned = aligned & unique_ok
+    return win_contig, win_diag, win_orient.astype(bool), mm, aligned, \
+        unique_ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _gapped_rescue(win_c, win_d, win_o, aligned, flat_bases, offsets,
+                   codes, lengths, cfg: AlignConfig):
+    """Banded-DP rescue of reads whose winning placement failed gap-free
+    verification (an indel vs the contig shifts the tail and swamps the
+    mismatch count; ref: QueryLookupTable's SmithWatBandedA extension).
+
+    Every unaligned-with-candidate read aligns against its expected contig
+    window (± band) through ops/banded (bit-parallel Myers on TPU); the
+    placement is accepted when the EDIT distance clears the same fraction
+    threshold the gap-free path applies to mismatches."""
+    from allpathslg_tpu.ops import banded
+
+    N, L = codes.shape
+    band = cfg.rescue_band
+    total = flat_bases.shape[0]
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lenv = lengths[:, None]
+    # rc reads align forward after reversing within their length
+    j2 = jnp.clip(lenv - 1 - j, 0, L - 1)
+    rc_codes = jnp.where(j < lenv,
+                         jnp.take_along_axis(codes, j2, axis=1), PAD_CODE)
+    rc_codes = jnp.where((rc_codes < 4) & (j < lenv), 3 - rc_codes.astype(
+        jnp.int32), PAD_CODE).astype(jnp.uint8)
+    q = jnp.where(win_o[:, None], rc_codes, codes)
+
+    gstart = offsets[jnp.maximum(win_c, 0)]
+    cend = offsets[jnp.maximum(win_c, 0) + 1]
+    # expected contig start of the (possibly rc'd) query
+    exp = jnp.where(win_o, win_d - (lengths - 1), win_d)
+    tstart = gstart + exp - band
+    Wt = L + 2 * band
+    jt = jnp.arange(Wt, dtype=jnp.int32)[None, :]
+    tpos = tstart[:, None] + jt
+    inb = (tpos >= gstart[:, None]) & (tpos < cend[:, None])
+    t = jnp.where(inb, flat_bases[jnp.clip(tpos, 0, total - 1)],
+                  PAD_CODE).astype(jnp.uint8)
+    t_len = jnp.full((N,), Wt, jnp.int32)
+    # call the kernel bodies UNJITTED: nesting their pjit inside this
+    # jitted program intermittently hit an XLA argument-buffer race when
+    # two DAG stage threads first-compile concurrently
+    if banded._on_tpu():
+        from allpathslg_tpu.ops.pallas import banded_bp
+        inner = banded_bp.banded_align_bp.__wrapped__
+    else:
+        inner = banded.banded_align.__wrapped__
+    cost, _ = inner(q, lengths.astype(jnp.int32), t, t_len,
+                    jnp.full((N,), band, jnp.int32), band=band)
+    max_mm = (cfg.max_mismatch_frac
+              * lengths.astype(jnp.float32)).astype(jnp.int32)
+    ok = (win_c >= 0) & ~aligned & (cost <= max_mm)
+    return ok, cost
 
 
 def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
@@ -244,21 +318,32 @@ def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
     Host code batches upload 2-bit packed (dtypes/packed) and unpack
     inside the jitted program — the axon host->device link is ~MB/s
     (docs/scaling.md) and raw [N, L] uint8 batches were 4x the bytes."""
+    from allpathslg_tpu.utils.jitsafe import call_buffer_safe
+
     if isinstance(codes, np.ndarray):
         from allpathslg_tpu.dtypes import packed as pk
 
         w, m, L = pk.pack_codes(codes)
-        codes = _unpack_jit(jnp.asarray(w), jnp.asarray(m), L)
+        codes = call_buffer_safe(_unpack_jit, jnp.asarray(w),
+                                 jnp.asarray(m), L)
     else:
         codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
-    rid, c, d, o, ok = _candidates(index.hash, index.bucket_starts,
-                                   index.contig, index.pos,
-                                   index.is_rc, codes, lengths, cfg,
-                                   index.shift)
-    win_c, win_d, win_o, mm, aligned = _vote_and_verify(
-        rid, c, d, o, ok, jnp.asarray(flat_bases), index.offsets,
+    rid, c, d, o, ok = call_buffer_safe(
+        _candidates, index.hash, index.bucket_starts,
+        index.contig, index.pos, index.is_rc, codes, lengths, cfg,
+        index.shift)
+    fb = jnp.asarray(flat_bases)
+    win_c, win_d, win_o, mm, aligned, unique_ok = call_buffer_safe(
+        _vote_and_verify, rid, c, d, o, ok, fb, index.offsets,
         codes, lengths, cfg)
+    if cfg.rescue_band > 0:
+        rescued, cost = call_buffer_safe(
+            _gapped_rescue, win_c, win_d, win_o, aligned, fb,
+            index.offsets, codes, lengths, cfg)
+        rescued = rescued & unique_ok   # rescue fixes verify failures,
+        aligned = aligned | rescued     # never ambiguity failures
+        mm = jnp.where(rescued, cost, mm)
     return (np.asarray(win_c), np.asarray(win_d), np.asarray(win_o),
             np.asarray(mm), np.asarray(aligned))
 

@@ -150,9 +150,12 @@ def _thread_counts(rp: ReadPaths):
 
 
 def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
-                   cfg: LocalizeConfig = LocalizeConfig()):
+                   cfg: LocalizeConfig = LocalizeConfig(),
+                   return_rewires: bool = False):
     """Split repeat junctions whose in/out edges are paired one-to-one by
-    read threads. Returns (ups', g', n_split).
+    read threads. Returns (ups', g', n_split) — with return_rewires, a
+    4th element: int64 [R, 6] rows (m, a, fa, b, fb, cid) recording which
+    split copy consumed each (in, out) pairing, for revise_paths.
 
     A repeat unipath m (indeg>1 and outdeg>1 in fwd orientation) splits when
     every in-edge and every out-edge participates in exactly one supported
@@ -226,10 +229,16 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     # is a self-loop disqualifies its mid this round (evidence vs graph
     # mismatch — same conservative outcome as the reference's walk failure)
 
+    def _ret(u, gg, k, rw):
+        if return_rewires:
+            return u, gg, k, (np.asarray(rw, np.int64).reshape(-1, 6)
+                              if len(rw) else np.zeros((0, 6), np.int64))
+        return u, gg, k
+
     cand_mids = np.flatnonzero(qual)
     if len(cand_mids) == 0:
-        return ups, UniGraph(ea.astype(np.int32), efa,
-                             eb.astype(np.int32), efb), 0
+        return _ret(ups, UniGraph(ea.astype(np.int32), efa,
+                                  eb.astype(np.int32), efb), 0, [])
 
     # --- apply splits (small loop over qualifying mids only) --------------
     order = np.argsort(M, kind="stable")
@@ -238,6 +247,7 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     grp_end = np.searchsorted(Ms, cand_mids, side="right")
 
     new_edges: List[Tuple[int, bool, int, bool]] = []
+    rewires: List[Tuple[int, int, int, int, int, int]] = []
     split_mids: List[int] = []
     split_touched = set()
     kcnt = np.asarray(ups.kmer_counts)
@@ -274,14 +284,16 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                     new_mcov.append(float(mcov[m]) / max(len(rows), 1))
             new_edges.append((int(A[r]), bool(FA[r]), cid, False))
             new_edges.append((cid, False, int(B[r]), bool(FB[r])))
+            rewires.append((int(m), int(A[r]), int(FA[r]),
+                            int(B[r]), int(FB[r]), cid))
         split_touched.add(int(m))
         split_touched |= nbrs
         split_mids.append(int(m))
         n_split += 1
 
     if n_split == 0:
-        return ups, UniGraph(ea.astype(np.int32), efa,
-                             eb.astype(np.int32), efb), 0
+        return _ret(ups, UniGraph(ea.astype(np.int32), efa,
+                                  eb.astype(np.int32), efb), 0, [])
 
     # drop ALL edges incident to a split mid: perfect pairing means its
     # in/out sets are exactly the threaded ones, and self-loops were
@@ -317,12 +329,13 @@ def thread_repeats(ups: Unipaths, g: UniGraph, rp: ReadPaths,
             [mcov_scaled, np.asarray(new_mcov, np.float32)]))
     g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
                   np.asarray(kb, np.int32), np.asarray(kfb, bool))
-    return ups2, g2, n_split
+    return _ret(ups2, g2, n_split, rewires)
 
 
 def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                            cfg: LocalizeConfig = LocalizeConfig(),
-                           margin: float = 3.0):
+                           margin: float = 3.0,
+                           return_rewires: bool = False):
     """Pull apart DOMINANT (in, out) pairings at junctions the perfect
     matcher leaves intact (ref: SupportedHyperBasevector::PullApart handles
     the clean 2-in/2-out case; real data leaves junctions where only SOME
@@ -335,9 +348,15 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     out); the consumed in/out edges leave the original m, which stays in
     place with its residual (ambiguous) edges. Returns (ups', g', n_split).
     """
+    def _ret(u, gg, k, rw):
+        if return_rewires:
+            return u, gg, k, (np.asarray(rw, np.int64).reshape(-1, 6)
+                              if len(rw) else np.zeros((0, 6), np.int64))
+        return u, gg, k
+
     votes = _thread_counts(rp)
     if len(votes) == 0:
-        return ups, g, 0
+        return _ret(ups, g, 0, [])
     n = ups.n
 
     def _pack4(a, fa, b, fb):
@@ -378,7 +397,7 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     np.add.at(outdeg_m, eb[efb], 1)      # the edge leaves a's rc end
     row_ok &= (indeg_m[M] >= 2) | (outdeg_m[M] >= 2)
     if not row_ok.any():
-        return ups, g, 0
+        return _ret(ups, g, 0, [])
     M, A, FA, B, FB, C = (x[row_ok] for x in (M, A, FA, B, FB, C))
 
     # competitor maxima per (mid, in) and per (mid, out)
@@ -412,7 +431,7 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
         & (C > comp)
 
     if not dom.any():
-        return ups, g, 0
+        return _ret(ups, g, 0, [])
 
     # one split per dominant row; serialize conflicts (same consumed edge
     # twice cannot happen given dominance exclusivity, but same MID with
@@ -440,6 +459,7 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
     # own dominant rows instead of minting a copy
     kept_nodes = set(ea[keep].tolist()) | set(eb[keep].tolist())
     endpoint_nodes = set(Ad.tolist()) | set(Bd.tolist())
+    rewires = []
     reused = set()
     for i in range(len(Md)):
         m = int(Md[i])
@@ -459,6 +479,8 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                 new_mcov.append(float(mcov[m]) / max(n_copies_of[m] + 1, 1))
         new_edges.append((int(Ad[i]), bool(FAd[i]), cid, False))
         new_edges.append((cid, False, int(Bd[i]), bool(FBd[i])))
+        rewires.append((m, int(Ad[i]), int(FAd[i]),
+                        int(Bd[i]), int(FBd[i]), cid))
 
     ka = list(ea[keep]) + [t[0] for t in new_edges]
     kfa = list(efa[keep]) + [t[1] for t in new_edges]
@@ -485,20 +507,237 @@ def thread_repeats_partial(ups: Unipaths, g: UniGraph, rp: ReadPaths,
             [mcov_scaled, np.asarray(new_mcov, np.float32)]))
     g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
                   np.asarray(kb, np.int32), np.asarray(kfb, bool))
-    return ups2, g2, len(Md)
+    return _ret(ups2, g2, len(Md), rewires)
+
+
+def revise_paths(rp: ReadPaths, rewires: np.ndarray):
+    """Iterate-paths-after-edit (ref: SupportedHyperBasevector re-deriving
+    ReadPaths after each graph edit, src/paths/long/): every contiguous
+    read triple whose (in, mid, out) pairing was consumed by a split
+    re-points its mid entry at the split copy, so the NEXT round of
+    support-driven edits sees the edited graph's true support instead of
+    stale pre-split node ids. Returns (rp', n_entries_revised)."""
+    if rewires is None or len(rewires) == 0:
+        return rp, 0
+    T = len(rp.uid)
+    if T < 3:
+        return rp, 0
+    off = rp.offsets
+    entry_read = np.repeat(np.arange(rp.n_reads), np.diff(off))
+    i = np.arange(T - 2)
+    same = entry_read[i] == entry_read[i + 2]
+    contig = (rp.leave[i] + 1 == rp.enter[i + 1]) & \
+             (rp.leave[i + 1] + 1 == rp.enter[i + 2])
+    idx = i[same & contig]
+    if len(idx) == 0:
+        return rp, 0
+    # normalize exactly as _thread_counts (mid forced forward)
+    a, fa = rp.uid[idx], ~rp.fwd[idx]
+    m, fm = rp.uid[idx + 1], ~rp.fwd[idx + 1]
+    b, fb = rp.uid[idx + 2], ~rp.fwd[idx + 2]
+    na = np.where(fm, b, a)
+    nfa = np.where(fm, ~fb, fa)
+    nb = np.where(fm, a, b)
+    nfb = np.where(fm, ~fa, fb)
+    rows = np.stack([m.astype(np.int64), na.astype(np.int64),
+                     nfa.astype(np.int64), nb.astype(np.int64),
+                     nfb.astype(np.int64)], axis=1)
+    rw = np.asarray(rewires, np.int64).reshape(-1, 6)
+    # 5-column equi-join via a shared unique-row numbering
+    allr = np.concatenate([rw[:, :5], rows])
+    _, inv = np.unique(allr, axis=0, return_inverse=True)
+    cid_of = np.full(int(inv.max()) + 1, -1, np.int64)
+    cid_of[inv[: len(rw)]] = rw[:, 5]
+    cid = cid_of[inv[len(rw):]]
+    hit = cid >= 0
+    if not hit.any():
+        return rp, 0
+    uid = rp.uid.copy()
+    uid[idx[hit] + 1] = cid[hit].astype(uid.dtype)
+    return dataclasses.replace(rp, uid=uid), int(hit.sum())
+
+
+def condense_linear_chains(ups: Unipaths, g: UniGraph, rp: ReadPaths,
+                           K: int):
+    """Merge maximal unambiguous oriented chains into single unipaths and
+    REWRITE the read paths onto the merged nodes (ref: HyperBasevector
+    zipping between LongProto simplification passes — after pull-aparts the
+    graph holds linear runs like [copy -> junction-kmer] that read-triple
+    threading cannot see through; condensing them turns a multi-node repeat
+    into one mid that thread_repeats can split next round).
+
+    Returns (ups2, g2, rp2, n_nodes_merged).
+    """
+    n = ups.n
+    if n == 0 or len(g.a) == 0:
+        return ups, g, rp, 0
+
+    def _pack4(a, fa, b, fb):
+        return (np.asarray(a, np.int64) << 33) | \
+            (np.asarray(fa, np.int64) << 32) | \
+            (np.asarray(b, np.int64) << 1) | np.asarray(fb, np.int64)
+
+    ekey = np.unique(_pack4(g.a, g.fa, g.b, g.fb))
+    ea = (ekey >> 33).astype(np.int64)
+    efa = ((ekey >> 32) & 1).astype(bool)
+    eb = ((ekey >> 1) & ((1 << 31) - 1)).astype(np.int64)
+    efb = (ekey & 1).astype(bool)
+    # mirror-closed oriented adjacency
+    asrc = np.concatenate([ea * 2 + efa, eb * 2 + ~efb])
+    adst = np.concatenate([eb * 2 + efb, ea * 2 + ~efa])
+    pair = np.unique(asrc << 32 | adst)
+    asrc, adst = pair >> 32, pair & 0xFFFFFFFF
+    outdeg = np.bincount(asrc, minlength=2 * n)
+    indeg = np.bincount(adst, minlength=2 * n)
+    # unique successor map: out(u) == {v} and in(v) == {u}
+    nxt = np.full(2 * n, -1, np.int64)
+    one = (outdeg[asrc] == 1) & (indeg[adst] == 1)
+    nxt[asrc[one]] = adst[one]
+
+    def _onode(c, flip):
+        return c * 2 + int(flip)
+
+    # walk maximal chains, each underlying node once (rc-symmetric)
+    seen = np.zeros(n, bool)
+    chains = []              # list of lists of (node, flip)
+    node_chain = np.full(n, -1, np.int64)
+    node_posk = np.zeros(n, np.int64)   # chain kmer-offset of node start
+    node_flip = np.zeros(n, bool)
+    kcnt = np.asarray(ups.kmer_counts).astype(np.int64)
+    prv = np.full(2 * n, -1, np.int64)
+    src_ok = nxt >= 0
+    prv[nxt[src_ok]] = np.flatnonzero(src_ok)
+    for c in range(n):
+        if seen[c]:
+            continue
+        u = _onode(c, False)
+        visited = {c}
+        while prv[u] >= 0 and (prv[u] >> 1) not in visited:
+            u = prv[u]
+            visited.add(int(u) >> 1)
+        chain = []
+        koff = 0
+        while True:
+            node, flip = int(u) >> 1, bool(u & 1)
+            if seen[node]:
+                break
+            chain.append((node, flip))
+            seen[node] = True
+            node_chain[node] = len(chains)
+            node_flip[node] = flip
+            node_posk[node] = koff
+            koff += kcnt[node]
+            v = nxt[u]
+            if v < 0 or seen[int(v) >> 1]:
+                break
+            u = v
+        chains.append(chain)
+    n_merged = sum(len(ch) - 1 for ch in chains if len(ch) > 1)
+    if n_merged == 0:
+        return ups, g, rp, 0
+
+    # merged sequences (K-1 collapse) + aggregated stats
+    lens = np.diff(ups.offsets)
+    mcov = ups.mean_cov
+    seqs, new_kcnt, new_mcov = [], [], []
+    for ch in chains:
+        parts = []
+        tot_k = 0
+        cov_acc = 0.0
+        for j, (node, flip) in enumerate(ch):
+            s = ups.sequence(node)
+            if flip:
+                s = (3 - s[::-1].astype(np.int32)) % 4
+                s = s.astype(np.uint8)
+            parts.append(s if j == 0 else s[K - 1:])
+            tot_k += int(kcnt[node])
+            if mcov is not None:
+                cov_acc += float(mcov[node]) * int(kcnt[node])
+        seqs.append(np.concatenate(parts))
+        new_kcnt.append(tot_k)
+        if mcov is not None:
+            new_mcov.append(cov_acc / max(tot_k, 1))
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    ups2 = Unipaths(
+        bases=np.concatenate(seqs) if seqs else np.zeros(0, np.uint8),
+        offsets=offsets,
+        kmer_counts=np.asarray(new_kcnt, np.int32),
+        mean_cov=None if mcov is None else np.asarray(new_mcov, np.float32))
+
+    # surviving edges: everything that is not an interior chain edge
+    interior = (nxt[ea * 2 + efa] == eb * 2 + efb)
+    ka, kfa, kb, kfb = [], [], [], []
+    for a_, fa_, b_, fb_ in zip(ea[~interior], efa[~interior],
+                                eb[~interior], efb[~interior]):
+        ca, cb = node_chain[a_], node_chain[b_]
+        nfa_ = bool(fa_) ^ bool(node_flip[a_])
+        nfb_ = bool(fb_) ^ bool(node_flip[b_])
+        ka.append(int(ca)); kfa.append(nfa_)
+        kb.append(int(cb)); kfb.append(nfb_)
+    g2 = UniGraph(np.asarray(ka, np.int32), np.asarray(kfa, bool),
+                  np.asarray(kb, np.int32), np.asarray(kfb, bool))
+
+    # rewrite read paths: remap entries, then merge contiguous runs that
+    # landed on the same merged node
+    uid = rp.uid.astype(np.int64)
+    flip_of = node_flip[uid]
+    new_uid = node_chain[uid]
+    new_fwd = rp.fwd ^ flip_of
+    nk = kcnt[uid]
+    new_pos = np.where(flip_of,
+                       node_posk[uid] + (nk - 1 - rp.pos),
+                       node_posk[uid] + rp.pos).astype(np.int32)
+    entry_read = np.repeat(np.arange(rp.n_reads), np.diff(rp.offsets))
+    T = len(uid)
+    if T:
+        same_prev = np.zeros(T, bool)
+        same_prev[1:] = ((entry_read[1:] == entry_read[:-1])
+                         & (new_uid[1:] == new_uid[:-1])
+                         & (new_fwd[1:] == new_fwd[:-1])
+                         & (rp.enter[1:] == rp.leave[:-1] + 1))
+        keep = ~same_prev
+        grp = np.cumsum(keep) - 1
+        n_out = int(keep.sum())
+        out_uid = new_uid[keep].astype(rp.uid.dtype)
+        out_fwd = new_fwd[keep]
+        out_enter = rp.enter[keep]
+        out_leave = np.zeros(n_out, rp.leave.dtype)
+        np.maximum.at(out_leave, grp, rp.leave)
+        # pos at the (min-enter) first member of each run
+        out_pos = new_pos[keep]
+        out_reads = entry_read[keep]
+        out_off = np.zeros(rp.n_reads + 1, np.int64)
+        np.add.at(out_off[1:], out_reads, 1)
+        np.cumsum(out_off, out=out_off)
+        rp2 = dataclasses.replace(rp, offsets=out_off, uid=out_uid,
+                                  fwd=out_fwd, enter=out_enter,
+                                  leave=out_leave, pos=out_pos)
+    else:
+        rp2 = rp
+    return ups2, g2, rp2, n_merged
 
 
 def localize_resolve(ups: Unipaths, g: UniGraph, rp: ReadPaths,
                      cfg: LocalizeConfig = LocalizeConfig()):
     """Full localization pass: edge-support filter, then iterated
-    read-thread junction splitting. Returns (ups', g', metrics)."""
+    read-thread junction splitting with path revision after every round
+    (each split re-points the affected read paths at the new copies, so
+    later rounds resolve junctions the stale paths could not).
+    Returns (ups', g', metrics, rp') — rp' is the revised read paths,
+    consistent with the returned graph's node ids."""
     support = edge_support(g, rp)
     g, n_dropped = filter_unsupported_edges(g, support, cfg)
     total_split = 0
+    total_revised = 0
     for _ in range(cfg.max_rounds):
-        ups, g, n_split = thread_repeats(ups, g, rp, cfg)
+        ups, g, n_split, rw = thread_repeats(ups, g, rp, cfg,
+                                             return_rewires=True)
         total_split += n_split
         if n_split == 0:
             break
+        rp, n_rev = revise_paths(rp, rw)
+        total_revised += n_rev
     return ups, g, {"n_edges_dropped": n_dropped,
-                    "n_repeats_split": total_split}
+                    "n_repeats_split": total_split,
+                    "n_path_entries_revised": total_revised}, rp

@@ -328,6 +328,9 @@ def precorrect_global_resident(db, cfg: PrecorrectConfig = PrecorrectConfig(),
             tw, tc, cfg)
         db.update_codes(i, ow, om)
         total += int(k)
+        if (i + 1) % 10 == 0 or i + 1 == db.n_batches:
+            say(f"  [precorrect] voted {i + 1}/{db.n_batches} batches "
+                f"({total} corrections)")
     return total
 
 

@@ -83,11 +83,12 @@ def long_proto(codes: np.ndarray, cfg: LongProtoConfig = LongProtoConfig()
     # 3) thread corrected reads through the graph (ReadPaths)
     rp = pdb.path_reads(placement, corrected)
 
-    # 4) support-driven simplification
+    # 4) support-driven simplification (iterated, with path revision after
+    # every edit — the reference's LongProto loop)
     sg = sup.build_supported(ups, g, rp)
-    sg, m = sup.simplify_supported(sg, rp, cfg.min_support,
-                                   cfg.min_thread_support,
-                                   ploidy=cfg.ploidy)
+    sg, m, rp = sup.simplify_supported(sg, rp, cfg.min_support,
+                                       cfg.min_thread_support,
+                                       ploidy=cfg.ploidy, K=cfg.K)
     metrics.update(m)
 
     # the pulled-apart graph changed node ids → re-derive support for merge

@@ -77,45 +77,72 @@ def _resupport(sg: SupportedGraph, g2: UniGraph) -> np.ndarray:
 
 def pull_apart(sg: SupportedGraph, rp: ReadPaths,
                min_thread_support: int = 2, max_rounds: int = 8,
-               margin: float = 3.0) -> Tuple[SupportedGraph, int]:
+               margin: float = 3.0
+               ) -> Tuple[SupportedGraph, int, ReadPaths]:
     """Pull-apart: replicate a junction unipath per supported (in, out)
     thread pairing (ref: SupportedHyperBasevector::PullApart — the 2-in/
     2-out case; generalized here to k-in/k-out perfect pairings, then to
     PARTIAL pairings: a dominant pairing — margin x better-supported than
     any competitor on its in- or out-edge — splits off even when the rest
-    of the junction stays ambiguous)."""
+    of the junction stays ambiguous).
+
+    After every split round the read paths are REVISED onto the split
+    copies (localize.revise_paths — the reference's iterate-paths-after-
+    edit), so consecutive rounds thread junctions whose resolution depends
+    on earlier splits, and the returned paths/support reflect the edited
+    graph. Returns (sg', n_split, rp')."""
     cfg = localize.LocalizeConfig(min_thread_support=min_thread_support,
                                   max_rounds=max_rounds)
     ups, g, n = sg.ups, sg.g, 0
     for _ in range(max_rounds):
-        ups, g, k = localize.thread_repeats(ups, g, rp, cfg)
+        ups, g, k, rw = localize.thread_repeats(ups, g, rp, cfg,
+                                                return_rewires=True)
         n += k
         if k == 0:
             break
+        rp, _ = localize.revise_paths(rp, rw)
     for _ in range(max_rounds):
-        ups, g, k = localize.thread_repeats_partial(ups, g, rp, cfg,
-                                                    margin=margin)
+        ups, g, k, rw = localize.thread_repeats_partial(
+            ups, g, rp, cfg, margin=margin, return_rewires=True)
         n += k
         if k == 0:
             break
-    sg2 = SupportedGraph(ups=ups, g=g,
-                         edge_support=np.zeros(len(g.a), np.int32),
-                         node_cov=np.zeros(ups.n, np.int32))
-    return sg2, n
+        rp, _ = localize.revise_paths(rp, rw)
+    sg2 = build_supported(ups, g, rp)
+    return sg2, n, rp
 
 
 def simplify_supported(sg: SupportedGraph, rp: ReadPaths,
                        min_support: int = 2, min_thread_support: int = 2,
-                       ploidy: int = 1
-                       ) -> Tuple[SupportedGraph, Dict[str, int]]:
-    """The LongProto cleanup loop: low-support deletion, path-supported
-    bubble resolution, then pull-aparts."""
-    sg, n_dropped = delete_low_support(sg, min_support)
-    sg, n_bub = resolve_bubbles_by_paths(sg, rp, ploidy=ploidy)
-    sg, n_split = pull_apart(sg, rp, min_thread_support)
-    return sg, {"n_edges_dropped": int(n_dropped),
-                "n_bubbles_resolved": int(n_bub),
-                "n_pulled_apart": int(n_split)}
+                       ploidy: int = 1, max_iters: int = 4,
+                       K: int = None
+                       ) -> Tuple[SupportedGraph, Dict[str, int], ReadPaths]:
+    """The LongProto cleanup loop, ITERATED to a fixpoint (ref: LongProto's
+    repeated simplification passes with path revision between edits):
+    low-support deletion, path-supported bubble resolution, pull-aparts
+    with path revision, then — when K is given — condensation of the
+    linear runs the edits exposed (multi-node repeats become single mids
+    the NEXT iteration's triple threading can split) — until an iteration
+    changes nothing."""
+    tot = {"n_edges_dropped": 0, "n_bubbles_resolved": 0,
+           "n_pulled_apart": 0, "n_chain_nodes_merged": 0}
+    for _ in range(max_iters):
+        sg, n_dropped = delete_low_support(sg, min_support)
+        sg, n_bub = resolve_bubbles_by_paths(sg, rp, ploidy=ploidy)
+        sg, n_split, rp = pull_apart(sg, rp, min_thread_support)
+        n_merged = 0
+        if K is not None:
+            ups2, g2, rp, n_merged = localize.condense_linear_chains(
+                sg.ups, sg.g, rp, K)
+            if n_merged:
+                sg = build_supported(ups2, g2, rp)
+        tot["n_edges_dropped"] += int(n_dropped)
+        tot["n_bubbles_resolved"] += int(n_bub)
+        tot["n_pulled_apart"] += int(n_split)
+        tot["n_chain_nodes_merged"] += int(n_merged)
+        if n_dropped + n_bub + n_split + n_merged == 0:
+            break
+    return sg, tot, rp
 
 
 def resolve_bubbles_by_paths(sg: SupportedGraph, rp: ReadPaths,

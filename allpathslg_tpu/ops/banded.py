@@ -106,16 +106,19 @@ def banded_align_auto(q, q_len, t, t_len, offset, band: int = 16,
     """Product-path dispatcher: the Pallas VMEM kernel on TPU (batch padded
     to a 128-lane multiple), the jnp reference elsewhere. Same semantics
     (ref: SmithWatBandedA as THE shared inner loop of patching/consensus)."""
+    from allpathslg_tpu.utils.jitsafe import call_buffer_safe
+
     B = int(q.shape[0])
     if not _on_tpu():
-        return banded_align(q, q_len, t, t_len, offset, band=band,
-                            sub_cost=sub_cost, gap_cost=gap_cost)
+        return call_buffer_safe(banded_align, q, q_len, t, t_len, offset,
+                                band=band, sub_cost=sub_cost,
+                                gap_cost=gap_cost)
     if sub_cost == 1 and gap_cost == 1 and band <= 15:
         # unit-cost narrow band: the bit-parallel Myers kernel computes 32
         # band cells per word op (~8x the general int kernel's Gcells/s)
         from allpathslg_tpu.ops.pallas import banded_bp
-        return banded_bp.banded_align_bp(q, q_len, t, t_len, offset,
-                                         band=band)
+        return call_buffer_safe(banded_bp.banded_align_bp, q, q_len, t,
+                                t_len, offset, band=band)
     from allpathslg_tpu.ops.pallas import banded_pallas
     Bp = ((B + 127) // 128) * 128
     if Bp != B:
@@ -125,7 +128,8 @@ def banded_align_auto(q, q_len, t, t_len, offset, band: int = 16,
         q_len = jnp.pad(jnp.asarray(q_len), (0, pad))
         t_len = jnp.pad(jnp.asarray(t_len), (0, pad))
         offset = jnp.pad(jnp.asarray(offset), (0, pad))
-    cost, tend = banded_pallas.banded_align_pallas(
+    cost, tend = call_buffer_safe(
+        banded_pallas.banded_align_pallas,
         q, q_len, t, t_len, offset, band=band,
         sub_cost=sub_cost, gap_cost=gap_cost)
     return cost[:B], tend[:B]

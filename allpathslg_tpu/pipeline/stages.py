@@ -420,6 +420,9 @@ class Pipeline:
                         db.L, table, ecfg)
                     db.update_codes(i, ow, om)
                     n_round += int(n)
+                    if (i + 1) % 10 == 0:
+                        self.log(f"  [find_errors] round {r}: corrected "
+                                 f"{i + 1}/{db.n_batches} batches")
                 total += n_round
                 self.log(f"  [find_errors] round {r}: n_strong={int(n_strong)} "
                          f"fixes={n_round}")
@@ -595,9 +598,20 @@ class Pipeline:
                 self.log(f"  [unipaths] path_reads: "
                          f"{_t.perf_counter() - t0:.1f}s")
                 t0 = _t.perf_counter()
-                ups, graph, lm = aloc.localize_resolve(ups, graph, rp)
+                ups, graph, lm, rp = aloc.localize_resolve(ups, graph, rp)
                 self.log(f"  [unipaths] localize_resolve: "
                          f"{_t.perf_counter() - t0:.1f}s")
+                # truth-free read-support QC of the assembly graph (ref:
+                # src/paths/long/EvalByReads — placed/coherent fractions);
+                # the revised paths already thread the final graph, so this
+                # is a pure classification pass, no re-pathing
+                from allpathslg_tpu.long import eval_by_reads as ebr
+                nw = np.maximum(
+                    np.asarray(a["lengths"], np.int64) - cfg.K + 1, 0)
+                _, _, qc = ebr.classify_reads(rp, graph, nw)
+                lm = {**lm,
+                      **{f"read_qc_{k}": v for k, v in qc.items()
+                         if k != "n_reads"}}
             from allpathslg_tpu.graph import coverage as gcov
             from allpathslg_tpu.graph import cleanup as gclean
             cn, peak = gcov.copy_numbers(ups)
@@ -1412,6 +1426,15 @@ class Pipeline:
                 lines.append(f"scaffolds: {sm['n_scaffolds']}")
                 lines.append(f"scaffold N50: {sm['scaffold_n50']}")
                 lines.append(f"scaffold total: {sm['scaffold_total']}")
+            um = self.rd.metrics("unipaths")
+            if um and "read_qc_placed_frac" in um:
+                lines.append("")
+                lines.append(
+                    "read-support QC (EvalByReads): "
+                    f"placed={um['read_qc_placed_frac']}, "
+                    f"coherent={um['read_qc_coherent_frac']}, "
+                    "unsupported_transitions="
+                    f"{um['read_qc_n_unsupported_transitions']}")
             lines.append("")
             lines.extend(self._lib_coverage_lines(int(st["total_bases"])))
             with open(rd.file_path("assembly.report"), "w") as f:

@@ -218,7 +218,7 @@ def main():
                 rid, cc, d, o, okc = alook._candidates(
                     index.hash, index.bucket_starts, index.contig,
                     index.pos, index.is_rc, c, lens, acfg, index.shift)
-                _, _, _, _, aligned = alook._vote_and_verify(
+                _, _, _, _, aligned, _ = alook._vote_and_verify(
                     rid, cc, d, o, okc, fb, index.offsets, c, lens, acfg)
                 return tot + aligned.sum()
             return lax.fori_loop(0, REP, body, jnp.int32(0))

@@ -98,7 +98,7 @@ def main():
     # C: full vote+verify from materialized candidates
     def stage_c(i, rid, cc, d, o, ok, codes, lens):
         okx = ok ^ (i % 2 == 3)
-        _, _, _, _, aligned = alook._vote_and_verify(
+        _, _, _, _, aligned, _ = alook._vote_and_verify(
             rid, cc, d, o, okx, fb, index.offsets, codes, lens, acfg)
         return aligned.sum()
 
@@ -110,7 +110,7 @@ def main():
         rid, cc, d, o, ok = alook._candidates(
             index.hash, index.bucket_starts, index.contig, index.pos,
             index.is_rc, c, lens, acfg, index.shift)
-        _, _, _, _, aligned = alook._vote_and_verify(
+        _, _, _, _, aligned, _ = alook._vote_and_verify(
             rid, cc, d, o, ok, fb, index.offsets, c, lens, acfg)
         return aligned.sum()
 

@@ -63,6 +63,54 @@ def test_align_rate_and_mismatches(aligned_setup):
     assert agree > 0.9, agree
 
 
+def test_gapped_rescue_recovers_indel_reads(aligned_setup):
+    """Reads carrying a real indel vs the contig fail gap-free verify but
+    must be RESCUED through the banded-DP kernel (VERDICT r4 Next 3; ref:
+    QueryLookupTable seed-extend via SmithWatBandedA). Align rate on an
+    indel-bearing library must match the substitution-only rate."""
+    genome, bases, offsets, index, batch, truth = aligned_setup
+    rng = np.random.default_rng(9)
+    L = 100
+    n = 512
+    starts = rng.integers(0, 12_000 - L - 2, n)
+    reads = np.zeros((n, L), np.uint8)
+    n_indel = 0
+    for i, s in enumerate(starts):
+        seg = genome[s : s + L + 1].copy()
+        kind = i % 3
+        if kind == 0:            # clean read
+            reads[i] = seg[:L]
+        elif kind == 1:          # 1-base deletion mid-read
+            p = int(rng.integers(20, 80))
+            reads[i] = np.concatenate([seg[:p], seg[p + 1 : L + 1]])
+            n_indel += 1
+        else:                    # 1-base insertion mid-read
+            p = int(rng.integers(20, 80))
+            ins = np.array([rng.integers(0, 4)], np.uint8)
+            reads[i] = np.concatenate([seg[:p], ins, seg[p : L - p - 1 + p]])
+            n_indel += 1
+    lengths = np.full(n, L, np.int32)
+
+    ok_no = lookup.align_reads(index, reads, lengths,
+                               lookup.AlignConfig(rescue_band=0), bases)[4]
+    c, d, o, mm, ok = lookup.align_reads(index, reads, lengths,
+                                         lookup.AlignConfig(rescue_band=8),
+                                         bases)
+    # without rescue the indel reads mostly fail; with rescue the overall
+    # rate reaches the clean-read rate
+    assert ok_no.mean() < 0.75, ok_no.mean()
+    assert ok.mean() > 0.95, ok.mean()
+    # rescued placements land on the right contig near the right spot
+    third = np.arange(n) % 3 != 0
+    rescued = ok & ~ok_no
+    assert rescued[third].mean() > 0.8
+    start_est = np.where(o, d - (lengths - 1), d)
+    err = np.abs(start_est[rescued] - starts[rescued])
+    assert (err <= 2).mean() > 0.95
+    # edit distances: 1 for indel reads
+    assert (mm[rescued] <= 2).all()
+
+
 def test_garbage_reads_unaligned(aligned_setup):
     genome, bases, offsets, index, batch, truth = aligned_setup
     rng = np.random.default_rng(5)

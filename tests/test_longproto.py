@@ -103,6 +103,35 @@ def test_supported_graph_pull_apart_resolves_repeat():
     assert len(best) > 0.85 * len(genome), (len(best), len(genome))
 
 
+def test_three_way_pull_apart_with_path_revision():
+    """A repeat with THREE copies (distinct flanks) resolves only through
+    the iterated loop: partial pull-apart -> path revision -> chain
+    condensation -> next-round perfect pull-apart (VERDICT r4 Next 7;
+    ref: SupportedHyperBasevector multi-way PullApart + re-pathing).
+    Without iteration the graph stalls at 3 contigs (measured r4)."""
+    rng = np.random.default_rng(3)
+    K = 32
+    parts = [rng.integers(0, 4, n).astype(np.uint8)
+             for n in (400, 60, 400, 400, 400, 400, 400)]
+    u1, rep, u2, u3, u4, u5, u6 = parts
+    genome = np.concatenate([u1, rep, u2, u3, rep, u4, u5, rep, u6])
+    batch, _, _ = sim.simulate_paired_reads(
+        genome, coverage=40, read_len=200, insert_mean=450, insert_sd=20,
+        error_rate=0.0, seed=4)
+    res = longproto.long_proto(
+        np.asarray(batch.codes),
+        longproto.LongProtoConfig(K=K, correction_rounds=0, ploidy=1,
+                                  min_kmer_count=2))
+    assert res.metrics["n_pulled_apart"] >= 2
+    assert res.metrics["n_chain_nodes_merged"] > 0
+    best = max(res.contigs.seqs, key=len)
+    assert len(best) > 0.95 * len(genome), (len(best), len(genome))
+    gs = "".join("ACGT"[c] for c in genome)
+    bs = "".join("ACGT"[c] for c in best)
+    brc = "".join("ACGT"[3 - c] for c in best[::-1])
+    assert bs in gs or brc in gs   # exact reconstruction
+
+
 def test_path_supported_bubble_resolution():
     """An error branch dominated >=3:1 by path support dies; a balanced
     (het) bubble survives at ploidy 2."""

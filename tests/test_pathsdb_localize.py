@@ -87,7 +87,7 @@ def test_threading_resolves_exact_repeat():
     reads = _windows_as_reads(g, L=L, step=11)
     ups, graph, pl = _build(reads)
     rp = pathsdb.path_reads(pl, reads)
-    ups2, g2, m = localize.localize_resolve(ups, graph, rp)
+    ups2, g2, m, _ = localize.localize_resolve(ups, graph, rp)
     assert m["n_repeats_split"] >= 1
     contigs, _ = cleanup.simplify(ups2, g2, K, ploidy=1)
     lens = sorted(len(s) for s in contigs.seqs)
@@ -104,7 +104,7 @@ def test_threading_leaves_unresolvable_repeat_alone():
     reads = _windows_as_reads(g, L=80, step=7)
     ups, graph, pl = _build(reads)
     rp = pathsdb.path_reads(pl, reads)
-    ups2, g2, m = localize.localize_resolve(ups, graph, rp)
+    ups2, g2, m, _ = localize.localize_resolve(ups, graph, rp)
     assert m["n_repeats_split"] == 0
 
 
@@ -176,7 +176,7 @@ def test_localize_scale_100k_edges():
         kmer_counts=np.full(n, 30, np.int32))
 
     t0 = time.perf_counter()
-    ups2, g2, metrics = localize.localize_resolve(ups, g, rp)
+    ups2, g2, metrics, _ = localize.localize_resolve(ups, g, rp)
     dt = time.perf_counter() - t0
     assert metrics["n_edges_dropped"] == n_motif          # every a1->b2
     assert metrics["n_repeats_split"] == n_motif          # every m

@@ -210,6 +210,6 @@ def test_pull_apart_partial_via_supported_graph():
     ups, g = _mk_junction()
     rp = _mk_paths([(0, 2, 3, 6), (1, 2, 4, 1)])
     sg = supported.build_supported(ups, g, rp)
-    sg2, n = supported.pull_apart(sg, rp, min_thread_support=2)
+    sg2, n, _ = supported.pull_apart(sg, rp, min_thread_support=2)
     assert n == 1
     assert sg2.ups.n == 6
