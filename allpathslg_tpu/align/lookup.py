@@ -39,16 +39,23 @@ class SeedIndex:
     per query instead of a ~22-round binary search (random gathers are the
     expensive TPU primitive; see docs/align_profile.md). Hash collisions
     (~T²/2³³ rows) only add spurious candidates, which the vote/verify
-    stages already reject."""
+    stages already reject.
+
+    Row payloads are PACKED into one uint32 `(gpos << 1) | is_rc` when the
+    flat contig set is < 2^30 bases (r5: halves the random gathers in the
+    hit expansion — the measured 57% cost center); contig/pos derive from
+    gpos via a log(n_contigs) search of the TINY offsets array. Larger
+    indexes fall back to the 3-array layout (packed=None)."""
     K: int
     hash: jnp.ndarray            # uint32 [T] sorted (0xFFFFFFFF reserved)
     bucket_starts: jnp.ndarray   # int32 [NB + 1]; NB = 1 << (32 - shift)
     shift: int                   # bucket = hash >> shift
-    contig: jnp.ndarray          # int32 [T]
+    contig: jnp.ndarray          # int32 [T] (legacy layout; None if packed)
     pos: jnp.ndarray             # int32 [T] position within contig
     is_rc: jnp.ndarray           # bool [T] canonical form is rc of contig fwd
     offsets: jnp.ndarray         # int32 [n_contigs + 1]
     contig_lens: np.ndarray      # int32 [n_contigs] (host)
+    packed: jnp.ndarray = None   # uint32 [T] (gpos << 1) | is_rc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,8 +71,12 @@ class AlignConfig:
                                 # SmithWatBandedA, SURVEY §3.5); 0 = off
 
 
-def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
-    """bases: uint8 flat contig bases; offsets: int [n+1]."""
+def build_index(bases: np.ndarray, offsets: np.ndarray, K: int,
+                force_legacy: bool = False) -> SeedIndex:
+    """bases: uint8 flat contig bases; offsets: int [n+1].
+
+    force_legacy keeps the 3-array row layout even under 2^30 bases
+    (tests the >=1 Gb fallback path on small data)."""
     total = int(offsets[-1])
     flat = jnp.asarray(bases, dtype=jnp.uint8).reshape(1, -1)
     off32 = jnp.asarray(np.asarray(offsets, np.int64).astype(np.int32))
@@ -85,8 +96,14 @@ def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
     flat_words = [w.reshape(-1) for w in canon]
     h = jnp.minimum(bits.hash_words(flat_words), jnp.uint32(0xFFFFFFFE))
     keys = [jnp.where(valid.reshape(-1), h, sent)]
-    skeys, spay = ops_sort.sort_by_words(
-        keys, [contig, pos, is_rc.reshape(-1).astype(jnp.int32)])
+    packed_mode = total < (1 << 30) and not force_legacy
+    if packed_mode:
+        pk32 = ((gpos.astype(jnp.uint32) << 1)
+                | is_rc.reshape(-1).astype(jnp.uint32))
+        skeys, spay = ops_sort.sort_by_words(keys, [pk32])
+    else:
+        skeys, spay = ops_sort.sort_by_words(
+            keys, [contig, pos, is_rc.reshape(-1).astype(jnp.int32)])
     n_valid = int(jnp.sum(valid.astype(jnp.int32)))
     hash_sorted = skeys[0][:n_valid]
     # bucket directory: ~4 buckets per row keeps mean occupancy ≈ 0.25 so
@@ -98,6 +115,12 @@ def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
     bucket_starts = jnp.concatenate([
         jnp.searchsorted(hash_sorted, bounds, side="left").astype(jnp.int32),
         jnp.full((1,), n_valid, jnp.int32)])
+    clens = np.diff(np.asarray(offsets)).astype(np.int32)
+    if packed_mode:
+        return SeedIndex(
+            K=K, hash=hash_sorted, bucket_starts=bucket_starts, shift=shift,
+            contig=None, pos=None, is_rc=None, offsets=off32,
+            contig_lens=clens, packed=spay[0][:n_valid])
     return SeedIndex(
         K=K,
         hash=hash_sorted,
@@ -107,7 +130,7 @@ def build_index(bases: np.ndarray, offsets: np.ndarray, K: int) -> SeedIndex:
         pos=spay[1][:n_valid],
         is_rc=spay[2][:n_valid].astype(bool),
         offsets=off32,
-        contig_lens=np.diff(np.asarray(offsets)).astype(np.int32),
+        contig_lens=clens,
     )
 
 
@@ -157,6 +180,54 @@ def _candidates(index_hash, bucket_starts, index_contig, index_pos,
     # seed-invariant anchors: fwd placements use A with read j ↔ A + j
     # (A = p - qpos); rc placements use A with read j ↔ A - j
     # (A = p + qpos + K - 1)
+    diag = jnp.where(orient_rc, p + qpos + (K - 1), p - qpos)
+    read_id = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, H)).reshape(-1, H)
+    ok = ok & sval.reshape(-1)[:, None]
+    return (read_id.reshape(-1), c.reshape(-1), diag.reshape(-1),
+            orient_rc.reshape(-1), ok.reshape(-1))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "shift"))
+def _candidates_packed(index_hash, bucket_starts, index_packed, offsets,
+                       codes, lengths, cfg: AlignConfig, shift: int):
+    """_candidates over the packed (gpos<<1|rc) index: HALF the random
+    gathers in the hit expansion (2 instead of 4 — hash + packed);
+    contig/pos derive from gpos through the tiny offsets array."""
+    K = cfg.K
+    N, L = codes.shape
+    P = L - K + 1
+    canon, valid = kmerize.kmer_windows(codes, K)
+    fwd, _ = kmerize.kmer_windows_fwd(codes, K)
+    q_rc = ~bits.lex_eq(canon, fwd)
+
+    seed_pos = jnp.arange(0, P, cfg.seed_stride, dtype=jnp.int32)
+    S = seed_pos.shape[0]
+    sw = [w[:, seed_pos] for w in canon]
+    sval = valid[:, seed_pos]
+    sqrc = q_rc[:, seed_pos]
+
+    flat = [w.reshape(-1) for w in sw]
+    qh = jnp.minimum(bits.hash_words(flat), jnp.uint32(0xFFFFFFFE))
+    b = (qh >> shift).astype(jnp.int32)
+    lo = bucket_starts[b]
+    hi = bucket_starts[b + 1]
+    H = cfg.max_hits_per_seed
+    T = index_packed.shape[0]
+
+    hit_idx = lo[:, None] + jnp.arange(H, dtype=jnp.int32)[None, :]
+    ok = hit_idx < hi[:, None]
+    hit_clip = jnp.minimum(hit_idx, T - 1)
+    ok = ok & (index_hash[hit_clip] == qh[:, None])
+    pk = index_packed[hit_clip]
+    gp = (pk >> 1).astype(jnp.int32)
+    t_rc = (pk & 1).astype(bool)
+    c = (jnp.searchsorted(offsets, gp, side="right") - 1).astype(jnp.int32)
+    p = gp - offsets[c]
+
+    qrc_f = sqrc.reshape(-1)[:, None]
+    orient_rc = qrc_f ^ t_rc
+    qpos = jnp.broadcast_to(seed_pos[None, :, None], (N, S, H)).reshape(-1, H)
     diag = jnp.where(orient_rc, p + qpos + (K - 1), p - qpos)
     read_id = jnp.broadcast_to(
         jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, H)).reshape(-1, H)
@@ -329,10 +400,15 @@ def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
     else:
         codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
-    rid, c, d, o, ok = call_buffer_safe(
-        _candidates, index.hash, index.bucket_starts,
-        index.contig, index.pos, index.is_rc, codes, lengths, cfg,
-        index.shift)
+    if index.packed is not None:
+        rid, c, d, o, ok = call_buffer_safe(
+            _candidates_packed, index.hash, index.bucket_starts,
+            index.packed, index.offsets, codes, lengths, cfg, index.shift)
+    else:
+        rid, c, d, o, ok = call_buffer_safe(
+            _candidates, index.hash, index.bucket_starts,
+            index.contig, index.pos, index.is_rc, codes, lengths, cfg,
+            index.shift)
     fb = jnp.asarray(flat_bases)
     win_c, win_d, win_o, mm, aligned, unique_ok = call_buffer_safe(
         _vote_and_verify, rid, c, d, o, ok, fb, index.offsets,

@@ -215,9 +215,14 @@ def main():
         def many_align(codes, lens):
             def body(i, tot):
                 c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
-                rid, cc, d, o, okc = alook._candidates(
-                    index.hash, index.bucket_starts, index.contig,
-                    index.pos, index.is_rc, c, lens, acfg, index.shift)
+                if index.packed is not None:
+                    rid, cc, d, o, okc = alook._candidates_packed(
+                        index.hash, index.bucket_starts, index.packed,
+                        index.offsets, c, lens, acfg, index.shift)
+                else:
+                    rid, cc, d, o, okc = alook._candidates(
+                        index.hash, index.bucket_starts, index.contig,
+                        index.pos, index.is_rc, c, lens, acfg, index.shift)
                 _, _, _, _, aligned, _ = alook._vote_and_verify(
                     rid, cc, d, o, okc, fb, index.offsets, c, lens, acfg)
                 return tot + aligned.sum()

@@ -63,20 +63,25 @@ def main():
     fb = jnp.asarray(genome[: offs[-1]])
     out = {}
 
+    def _cands(c, lens):
+        if index.packed is not None:
+            return alook._candidates_packed(
+                index.hash, index.bucket_starts, index.packed,
+                index.offsets, c, lens, acfg, index.shift)
+        return alook._candidates(
+            index.hash, index.bucket_starts, index.contig, index.pos,
+            index.is_rc, c, lens, acfg, index.shift)
+
     # A: candidates only
     def stage_a(i, codes, lens):
         c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
-        rid, cc, d, o, ok = alook._candidates(
-            index.hash, index.bucket_starts, index.contig, index.pos,
-            index.is_rc, c, lens, acfg, index.shift)
+        rid, cc, d, o, ok = _cands(c, lens)
         return ok.sum()
 
     out["candidates_ms"] = sustain(stage_a, codes, lens) * 1e3
 
     # materialize candidates once for the isolated downstream stages
-    rid, cc, d, o, ok = alook._candidates(
-        index.hash, index.bucket_starts, index.contig, index.pos,
-        index.is_rc, codes, lens, acfg, index.shift)
+    rid, cc, d, o, ok = _cands(codes, lens)
     rid, cc, d, o, ok = jax.tree.map(jnp.asarray, (rid, cc, d, o, ok))
     print(f"candidate rows: {rid.shape[0]}", file=sys.stderr)
 
@@ -107,9 +112,7 @@ def main():
     # D: full pipeline
     def stage_d(i, codes, lens):
         c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
-        rid, cc, d, o, ok = alook._candidates(
-            index.hash, index.bucket_starts, index.contig, index.pos,
-            index.is_rc, c, lens, acfg, index.shift)
+        rid, cc, d, o, ok = _cands(c, lens)
         _, _, _, _, aligned, _ = alook._vote_and_verify(
             rid, cc, d, o, ok, fb, index.offsets, c, lens, acfg)
         return aligned.sum()

@@ -111,6 +111,19 @@ def test_gapped_rescue_recovers_indel_reads(aligned_setup):
     assert (mm[rescued] <= 2).all()
 
 
+def test_packed_and_legacy_index_agree(aligned_setup):
+    """The packed (gpos<<1|rc) row layout and the >=1 Gb legacy 3-array
+    fallback must produce identical alignlets."""
+    genome, bases, offsets, index, batch, truth = aligned_setup
+    legacy = lookup.build_index(bases, offsets, K=24, force_legacy=True)
+    assert legacy.packed is None and index.packed is not None
+    cfg = lookup.AlignConfig()
+    rp = lookup.align_reads(index, batch.codes, batch.lengths, cfg, bases)
+    rl = lookup.align_reads(legacy, batch.codes, batch.lengths, cfg, bases)
+    for a, b in zip(rp, rl):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_garbage_reads_unaligned(aligned_setup):
     genome, bases, offsets, index, batch, truth = aligned_setup
     rng = np.random.default_rng(5)
