@@ -29,6 +29,10 @@ class AssemblyConfig:
     min_contig_len: int = 0         # 0 → 2*K default at report time
     # aux subsystems (SURVEY.md §5)
     check_mode: bool = False        # cross-validate device kernels vs numpy
+    evaluation: str = "STANDARD"    # NONE | STANDARD | FULL | CHEAT (ref:
+                                    # RunAllPathsLG EVALUATION=; CHEAT feeds
+                                    # the truth genome into stage INTERNALS
+                                    # for debugging diagnostics)
     profile_dir: str = ""           # jax.profiler trace dir ("" = off)
     fault_stage: str = ""           # raise inside this stage (resume tests)
     min_scaffold_len: int = 0       # submission min length (0 → min_contig)

@@ -430,12 +430,22 @@ class Pipeline:
                     break       # fixpoint reached (adaptive round cutoff)
             np.save(rd.file_path("strong_table.npy"),
                     np.stack([np.asarray(w) for w in table]))
-            rd.save_arrays("frag_reads_edit", codes=db.codes_to_host(),
+            out_codes = db.codes_to_host()
+            extra = {}
+            if self._cheat:
+                before = self._cheat_true_kmer_frac(a["codes"], cfg.K_ec)
+                after = self._cheat_true_kmer_frac(out_codes, cfg.K_ec)
+                self.log(f"  [find_errors] CHEAT: true-kmer frac "
+                         f"{before} -> {after}")
+                extra = {"cheat_true_kmer_frac_before": before,
+                         "cheat_true_kmer_frac_after": after}
+            rd.save_arrays("frag_reads_edit", codes=out_codes,
                            lengths=a["lengths"], quals=a["quals"],
                            **({"pairs": a["pairs"]} if "pairs" in a else {}))
             self._register_resident("frag_reads_edit", db,
                                     drop="frag_reads_prec")
-            return {"n_corrections": total, "n_strong_kmers": int(n_strong)}
+            return {"n_corrections": total, "n_strong_kmers": int(n_strong),
+                    **extra}
 
         return self.run_stage("find_errors", ih,
                               ["frag_reads_edit.npz", "strong_table.npy"], fn)
@@ -638,6 +648,9 @@ class Pipeline:
                            amb_kept_len=np.asarray(amb_klen, np.int32),
                            amb_alt=np.asarray(amb_alt, np.uint8),
                            amb_alt_offsets=np.asarray(amb_aoff, np.int64))
+            if self._cheat:
+                lm = {**lm, **self._cheat_assembly_report(
+                    bases, offsets, "unipaths")}
             recs = [(f"contig_{i}", contigs.seqs[i])
                     for i in range(len(contigs.seqs))]
             fio.write_fasta(rd.file_path("unibases.fasta"), recs)
@@ -1227,6 +1240,8 @@ class Pipeline:
                         self._art_hash("genome_truth"))
 
         def fn():
+            if cfg.evaluation == "NONE":
+                return {"skipped": "EVALUATION=NONE"}
             if not rd.has("genome_truth"):
                 return {"skipped": "no reference genome"}
             art = "contigs_final" if rd.has("contigs_final") else "unibases"
@@ -1473,6 +1488,49 @@ class Pipeline:
     def _art_hash(self, name: str) -> str:
         """Cheap artifact fingerprint: file sizes + mtimes."""
         return self.rd.fingerprint(name)
+
+    # ---- CHEAT-mode truth diagnostics (ref: EVALUATION=CHEAT guiding
+    # module internals for debugging, SURVEY §2.5 row 25) ----
+
+    @property
+    def _cheat(self) -> bool:
+        return (self.cfg.evaluation == "CHEAT"
+                and self.rd.has("genome_truth"))
+
+    def _truth_kmer_set(self, K: int):
+        if getattr(self, "_truth_kset", None) is None \
+                or self._truth_kset[0] != K:
+            from allpathslg_tpu.eval import oracle
+            g = self.rd.load_arrays("genome_truth")["genome"]
+            self._truth_kset = (K, set(oracle.count_kmers([g], K).keys()))
+        return self._truth_kset[1]
+
+    def _cheat_true_kmer_frac(self, codes: np.ndarray, K: int,
+                              n_sample: int = 512) -> float:
+        """Fraction of a read sample's K-mers present in the truth genome
+        (1.0 = error-free reads); the mid-pipeline EC diagnostic."""
+        from allpathslg_tpu.eval import oracle
+        kset = self._truth_kmer_set(K)
+        idx = np.linspace(0, len(codes) - 1, min(n_sample, len(codes)),
+                          dtype=np.int64)
+        reads = [np.asarray(codes[i]) for i in idx]
+        n_in = n_tot = 0
+        for ck in (oracle.count_kmers([r], K) for r in reads):
+            n_tot += sum(ck.values())
+            n_in += sum(v for k, v in ck.items() if k in kset)
+        return round(n_in / max(n_tot, 1), 5)
+
+    def _cheat_assembly_report(self, bases, offsets, tag: str) -> Dict:
+        """Mid-pipeline truth accuracy of an intermediate contig set."""
+        from allpathslg_tpu.eval import accuracy as eacc
+        g = self.rd.load_arrays("genome_truth")["genome"]
+        rep = eacc.evaluate(np.asarray(bases), np.asarray(offsets), g)
+        out = {f"cheat_{k}": v for k, v in rep.items()
+               if k in ("genome_covered_frac", "misassembly_breaks",
+                        "anchor_place_rate")}
+        self.log(f"  [{tag}] CHEAT: " + ", ".join(
+            f"{k}={v}" for k, v in out.items()))
+        return out
 
     def run_contig_slice(self) -> Dict:
         """The §7.3 minimum slice: inputs → contigs + report."""

@@ -114,6 +114,31 @@ def test_watchdog_heartbeat_logs_progress(tmp_path):
     assert "slow_stage" in rd.manifest["stages"]
 
 
+def test_cheat_mode_truth_diagnostics(tmp_path):
+    """EVALUATION=CHEAT (ref: RunAllPathsLG EVALUATION=CHEAT guiding
+    module internals): truth feeds INTO stage diagnostics — find_errors
+    reports the true-kmer fraction before/after correction, unipaths
+    reports mid-pipeline assembly accuracy vs truth."""
+    rd, pipe = _mk(tmp_path, batch_reads=4096, evaluation="CHEAT")
+    pipe.remove_dodgy()
+    pipe.precorrect()
+    m = pipe.find_errors()
+    assert "cheat_true_kmer_frac_after" in m, m
+    assert m["cheat_true_kmer_frac_after"] >= m["cheat_true_kmer_frac_before"]
+    assert m["cheat_true_kmer_frac_after"] > 0.99
+    pipe.clean_reads()
+    pipe.fill_fragments()
+    um = pipe.unipaths()
+    assert "cheat_genome_covered_frac" in um, um
+    assert um["cheat_genome_covered_frac"] > 0.9
+
+
+def test_evaluation_none_skips(tmp_path):
+    rd, pipe = _mk(tmp_path, batch_reads=4096, evaluation="NONE")
+    pipe.run_full()
+    assert rd.metrics("evaluate").get("skipped") == "EVALUATION=NONE"
+
+
 def test_full_run_emits_submission_and_libcoverage(tmp_path):
     rd, pipe = _mk(tmp_path, batch_reads=8192)
     pipe.run_full()
