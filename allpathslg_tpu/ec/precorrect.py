@@ -246,7 +246,12 @@ def precorrect_apply_batch(codes, quals, table_words, table_counts,
     n_b = []
     for b in range(4):
         q = flat_ctx + [jnp.full_like(flat_ctx[0], b)]
-        cnt, _ = join.lookup_payload(table_words, table_counts, q, 0)
+        if isinstance(table_words, join.HashedTable):
+            # r5: hash-bucketed exact lookup — the binary-search voting
+            # pass measured 25 s/batch over the tunnel at genome scale
+            cnt, _ = join.payload_hashed(table_words, 0, q, 0)
+        else:
+            cnt, _ = join.lookup_payload(table_words, table_counts, q, 0)
         n_b.append(cnt)
     n_b = jnp.stack(n_b, axis=-1)                     # [N*P, 4]
 
@@ -318,7 +323,10 @@ def precorrect_global_resident(db, cfg: PrecorrectConfig = PrecorrectConfig(),
     else:
         merged = block_tables[0]
     merged = kcount.pad_table_quantized(merged)
-    tw, tc = list(merged.words), merged.counts
+    from allpathslg_tpu.ops import join as _join
+    ht = _join.hash_table(list(merged.words), payloads=[merged.counts])
+    tw, tc = ht, None
+    say(f"  [precorrect] stack table hashed (scan depth H={ht.H})")
 
     say(f"  [precorrect] pass 2: voting {db.n_batches} batches")
     total = 0
@@ -366,7 +374,9 @@ def precorrect_global(codes, quals, cfg: PrecorrectConfig = PrecorrectConfig(),
     # single-batch path (ADVICE r2).
     merged = kcount.pad_table_quantized(
         sc.finish(min_count=min(2, cfg.min_winner)))
-    tw, tc = list(merged.words), merged.counts
+    from allpathslg_tpu.ops import join as _join
+    ht = _join.hash_table(list(merged.words), payloads=[merged.counts])
+    tw, tc = ht, None
 
     out = np.empty_like(codes)
     total = 0

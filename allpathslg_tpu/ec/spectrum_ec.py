@@ -82,12 +82,21 @@ def compact_strong_table(table, n_strong: int, bucket: int = 1 << 18):
     return out
 
 
+def _member(table, flat):
+    """Membership dispatch: HashedTable (r5 fast path — H+W+3 gathers per
+    query instead of log2(M) x W) or a legacy sorted word list."""
+    if isinstance(table, join.HashedTable):
+        return join.member_hashed(table, flat)
+    _, found = join.searchsorted_words(table, flat)
+    return found
+
+
 def _window_strong(codes, table, K: int):
     """bool [N, P]: window's canonical kmer is in the strong table."""
     canon, valid = kmerize.kmer_windows(codes, K)
     N, P = valid.shape
     flat = [w.reshape(-1) for w in canon]
-    _, found = join.searchsorted_words(table, flat)
+    found = _member(table, flat)
     return (found.reshape(N, P) & valid), valid
 
 
@@ -177,7 +186,7 @@ def correct_round(codes, quals, table, cfg: SpectrumECConfig):
     canon, _ = bits.canonical(sub, K)
 
     flat = [w.reshape(-1) for w in canon]
-    _, found = join.searchsorted_words(table, flat)
+    found = _member(table, flat)
     strong_alt = found.reshape(N, MAXFIX, 4, K) | ~p_ok[:, :, None, :]
     all_strong = strong_alt.all(axis=-1) & alt_ok & has_c[:, :, None]  # [N,MF,4]
 

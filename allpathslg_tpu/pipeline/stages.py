@@ -411,8 +411,13 @@ class Pipeline:
                         min_qsum=ecfg.min_strong_qsum)
                 table, n_strong = sec.strong_table(ck_acc, ecfg)
                 del ck_acc  # free the raw table's HBM before correction
-                table = sec.compact_strong_table(table, int(n_strong))
-                self.log(f"  [find_errors] round {r}: strong table built")
+                tw_save = sec.compact_strong_table(table, int(n_strong))
+                # hash-bucketed membership (ops/join r5): the correct pass
+                # was gather-bound on the log2(M)-round binary search
+                from allpathslg_tpu.ops import join as _join
+                table = _join.hash_table(tw_save)
+                self.log(f"  [find_errors] round {r}: strong table built "
+                         f"(scan depth H={table.H})")
                 n_round = 0
                 for i in range(db.n_batches):
                     ow, om, n = sec.correct_round_packed(
@@ -429,7 +434,7 @@ class Pipeline:
                 if n_round < ecfg.min_round_fixes_frac * db.n_real:
                     break       # fixpoint reached (adaptive round cutoff)
             np.save(rd.file_path("strong_table.npy"),
-                    np.stack([np.asarray(w) for w in table]))
+                    np.stack([np.asarray(w) for w in tw_save]))
             out_codes = db.codes_to_host()
             extra = {}
             if self._cheat:
@@ -459,7 +464,9 @@ class Pipeline:
             a = rd.load_arrays("frag_reads_edit", mmap=True)
             ecfg = cfg.spectrum_ec
             table_np = np.load(rd.file_path("strong_table.npy"))
-            table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
+            from allpathslg_tpu.ops import join as _join
+            table = _join.hash_table(
+                [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])])
             db = self._resident_batches("frag_reads_edit")
             lengths, n_real = _pad_batch(a["lengths"], cfg.batch_reads, 0)
             out_l = np.empty_like(lengths)
@@ -704,7 +711,9 @@ class Pipeline:
                 return {"skipped": "no jump library"}
             a = rd.load_arrays("jump_reads_orig", mmap=True)
             table_np = np.load(rd.file_path("strong_table.npy"))
-            table = [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])]
+            from allpathslg_tpu.ops import join as _join
+            table = _join.hash_table(
+                [jnp.asarray(table_np[i]) for i in range(table_np.shape[0])])
             c, q, l, pair_ok, m = jec.error_correct_jumps(
                 a["codes"], a["quals"], a["lengths"], a["pairs"], table)
             rd.save_arrays("jump_reads_ec", codes=c, quals=q, lengths=l,
@@ -982,8 +991,10 @@ class Pipeline:
             # EC exactly like regular jumps (trusted-prefix truncation)
             a = rd.load_arrays("long_jump_reads_orig", mmap=True)
             table_np = np.load(rd.file_path("strong_table.npy"))
-            table = [jnp.asarray(table_np[i])
-                     for i in range(table_np.shape[0])]
+            from allpathslg_tpu.ops import join as _join
+            table = _join.hash_table(
+                [jnp.asarray(table_np[i])
+                 for i in range(table_np.shape[0])])
             c, q, l, pair_ok, m = jec.error_correct_jumps(
                 a["codes"], a["quals"], a["lengths"], a["pairs"], table)
             rd.save_arrays("long_jump_reads_ec", codes=c, quals=q,
