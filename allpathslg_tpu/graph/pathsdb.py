@@ -68,11 +68,23 @@ class ReadPaths:
 @functools.partial(jax.jit, static_argnames=("K",))
 def _window_placements(codes, K: int, table, uid, upos, urc):
     """Device: per window (read, p): unipath id (-1 if absent), orientation
-    and unipath position of the window."""
+    and unipath position of the window.
+
+    `table` may be a join.HashedTable whose payloads are (uid, upos, urc)
+    hash-sorted (r5 fast path: constant gathers per query instead of the
+    log2(M) x W binary search — read pathing at genome scale is
+    gather-bound like EC); then the uid/upos/urc args are ignored."""
     canon, valid = kmerize.kmer_windows(codes, K)
     shape = canon[0].shape
-    idx, found = join.searchsorted_words(list(table),
-                                         [w.reshape(-1) for w in canon])
+    if isinstance(table, join.HashedTable):
+        found, idx = join.lookup_hashed(
+            table.hash_fp, table.bucket_starts, list(table.words),
+            [w.reshape(-1) for w in canon], table.shift, table.H)
+        uid, upos, urc = table.payloads
+        urc = urc.astype(bool)
+    else:
+        idx, found = join.searchsorted_words(list(table),
+                                             [w.reshape(-1) for w in canon])
     idx = idx.reshape(shape)
     found = found.reshape(shape) & valid
     safe = jnp.maximum(idx, 0)
@@ -92,6 +104,10 @@ def _window_placements(codes, K: int, table, uid, upos, urc):
     return w_uid, w_fwd, w_pos
 
 
+_window_placements_jit = functools.partial(
+    jax.jit, static_argnames=("K",))(_window_placements)
+
+
 def path_reads(pl: KmerPlacement, codes: np.ndarray,
                batch_size: int = 8192) -> ReadPaths:
     """Path a read batch: device joins + host run compression.
@@ -101,10 +117,13 @@ def path_reads(pl: KmerPlacement, codes: np.ndarray,
     N, L = codes.shape
     K = pl.K
     P = L - K + 1
-    table = [jnp.asarray(w) for w in pl.table]
-    juid = jnp.asarray(pl.uid)
-    jupos = jnp.asarray(pl.upos)
-    jurc = jnp.asarray(pl.urc)
+    # hashed placement table: uid/upos/urc ride as hash-sorted payloads
+    table = join.hash_table(
+        [jnp.asarray(w) for w in pl.table],
+        payloads=[jnp.asarray(np.asarray(pl.uid, np.int32)),
+                  jnp.asarray(np.asarray(pl.upos, np.int32)),
+                  jnp.asarray(np.asarray(pl.urc).astype(np.uint32))])
+    juid = jupos = jurc = None
 
     # compress per batch (the [N, P] window matrices at genome scale would
     # be tens of GB); ragged ReadPaths pieces concatenate trivially
@@ -118,8 +137,8 @@ def path_reads(pl: KmerPlacement, codes: np.ndarray,
             cb = np.concatenate([cb, np.full((batch_size - (e - s), L), 4,
                                              codes.dtype)])
         from allpathslg_tpu.dtypes import packed as _pk
-        u, f, o = _window_placements(_pk.device_codes(cb), K, table, juid,
-                                     jupos, jurc)
+        u, f, o = _window_placements_jit(_pk.device_codes(cb), K, table,
+                                         juid, jupos, jurc)
         rp = compress_window_paths(np.asarray(u)[: e - s],
                                    np.asarray(f)[: e - s],
                                    np.asarray(o)[: e - s])
