@@ -1047,6 +1047,27 @@ class Pipeline:
             scaffolds = ssb.read_superb(rd.file_path("assembly.superb"))
             n_closed = 0
             from allpathslg_tpu.asm.patch import _oriented
+            from allpathslg_tpu.asm.amb import AmbTable
+            amb = AmbTable.from_arrays(u)
+            # piece provenance per CURRENT contig: list of
+            # (orig_src, flip, lo, hi, src_len, dst_off) in the
+            # amb.from_pieces convention — merges compose it, so diploid
+            # ambiguity records survive gap closure (before r5 this stage
+            # silently dropped every record)
+            pm = {c: [(c, False, 0, len(contigs[c]), len(contigs[c]), 0)]
+                  for c in range(len(contigs))}
+
+            def _compose(plist, flip, base, L_cur):
+                out = []
+                for (src, fl, lo, hi, slen, doff) in plist:
+                    plen = hi - lo
+                    if not flip:
+                        out.append((src, fl, lo, hi, slen, base + doff))
+                    else:
+                        out.append((src, not fl, slen - hi, slen - lo, slen,
+                                    base + (L_cur - doff - plen)))
+                return out
+
             for sb in scaffolds:
                 j = 0
                 while j < len(sb.gaps):
@@ -1059,6 +1080,9 @@ class Pipeline:
                     if merged is not None:
                         contigs.append(merged)
                         nid = len(contigs) - 1
+                        base2 = len(merged) - len(s2)
+                        pm[nid] = (_compose(pm[c1], f1, 0, len(s1))
+                                   + _compose(pm[c2], f2, base2, len(s2)))
                         sb.contig_ids[j : j + 2] = [nid]
                         sb.rc[j : j + 2] = [False]
                         del sb.gaps[j]
@@ -1074,9 +1098,14 @@ class Pipeline:
             np.cumsum([len(contigs[c]) for c in used], out=offsets[1:])
             for sb in scaffolds:
                 sb.contig_ids = [remap[c] for c in sb.contig_ids]
-            rd.save_arrays("contigs_final", bases=bases, offsets=offsets)
+            rows = [(src, remap[c], fl, lo, hi, slen, doff)
+                    for c in used for (src, fl, lo, hi, slen, doff) in pm[c]]
+            amb2 = amb.from_pieces(rows)
+            rd.save_arrays("contigs_final", bases=bases, offsets=offsets,
+                           **amb2.to_arrays())
             ssb.write_superb(rd.file_path("assembly.superb"), scaffolds)
-            return {"n_gaps_closed": int(n_closed)}
+            return {"n_gaps_closed": int(n_closed),
+                    "n_ambiguities_kept": amb2.n}
 
         return self.run_stage("long_read_patch", ih,
                               ["contigs_final.npz", "assembly.superb"], fn)
