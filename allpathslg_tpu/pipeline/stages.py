@@ -383,14 +383,43 @@ class Pipeline:
                         self._art_hash("frag_reads_prec"))
 
         def fn():
+            import os as _os
             a = rd.load_arrays("frag_reads_prec", mmap=True)
             ecfg = cfg.spectrum_ec
-            # reads + quals stay device-resident across all rounds (one
-            # upload if precorrect's cache was dropped; zero otherwise)
-            db = self._resident_batches("frag_reads_prec")
-            total = 0
+            # intra-stage per-round checkpoint (SURVEY §5.4 "long stages
+            # checkpoint internal progress"): tunnel wedges killed whole
+            # 40-min EC stages twice in the r5 binding run — resuming
+            # re-seeds the resident cache from the last completed round
+            ck_file = rd.file_path("find_errors_progress.npz")
+            start_round, total = 0, 0
+            db = None
+            if _os.path.exists(ck_file):
+                try:
+                    ckp = np.load(ck_file)
+                    if str(ckp["ih"]) == ih:
+                        start_round = min(int(ckp["next_round"]),
+                                          max(ecfg.rounds - 1, 0))
+                        total = int(ckp["total"])
+                        from allpathslg_tpu.dtypes.devcache import \
+                            DeviceBatches
+                        db = DeviceBatches.from_host(
+                            ckp["codes"], a["quals"], cfg.batch_reads)
+                        self._read_cache["frag_reads_prec"] = db
+                        self.log(f"  [find_errors] resuming at round "
+                                 f"{start_round} from intra-stage "
+                                 f"checkpoint")
+                except Exception as e:
+                    self.log(f"  [find_errors] checkpoint unreadable "
+                             f"({e}); starting fresh")
+            if db is None:
+                # reads + quals stay device-resident across all rounds (one
+                # upload if precorrect's cache was dropped; zero otherwise)
+                db = self._resident_batches("frag_reads_prec")
             # global strong table per round over all batches, then correct
-            for r in range(ecfg.rounds):
+            for r in range(start_round, ecfg.rounds):
+                if cfg.fault_stage == f"find_errors@round{r}":
+                    raise RuntimeError(
+                        f"injected fault in find_errors round {r}")
                 # pre-filter to the strong thresholds during the streamed
                 # merge: the raw (reads x windows) table never materializes
                 if self._mesh is not None:
@@ -433,6 +462,13 @@ class Pipeline:
                          f"fixes={n_round}")
                 if n_round < ecfg.min_round_fixes_frac * db.n_real:
                     break       # fixpoint reached (adaptive round cutoff)
+                if r + 1 < ecfg.rounds:
+                    tmp = ck_file + ".tmp"
+                    with open(tmp, "wb") as f:
+                        np.savez(f, ih=ih, next_round=r + 1, total=total,
+                                 codes=db.codes_to_host())
+                    _os.replace(tmp, ck_file)
+                    self.log(f"  [find_errors] round {r}: checkpointed")
             np.save(rd.file_path("strong_table.npy"),
                     np.stack([np.asarray(w) for w in tw_save]))
             out_codes = db.codes_to_host()
@@ -449,6 +485,8 @@ class Pipeline:
                            **({"pairs": a["pairs"]} if "pairs" in a else {}))
             self._register_resident("frag_reads_edit", db,
                                     drop="frag_reads_prec")
+            if _os.path.exists(ck_file):
+                _os.remove(ck_file)
             return {"n_corrections": total, "n_strong_kmers": int(n_strong),
                     **extra}
 

@@ -114,6 +114,42 @@ def test_watchdog_heartbeat_logs_progress(tmp_path):
     assert "slow_stage" in rd.manifest["stages"]
 
 
+def test_find_errors_round_checkpoint_resume(tmp_path):
+    """Intra-stage EC checkpoint (SURVEY §5.4): a crash between rounds
+    resumes from the last completed round, and the resumed run's output is
+    BYTE-IDENTICAL to an uninterrupted one."""
+    import shutil
+
+    # uninterrupted reference
+    rd1, p1 = _mk(tmp_path / "a", batch_reads=4096,
+                  ec_min_round_fixes_frac=0.0, ec_rounds=2)
+    p1.remove_dodgy()
+    p1.precorrect()
+    p1.find_errors()
+    ref = np.asarray(rd1.load_arrays("frag_reads_edit")["codes"])
+
+    # interrupted at round 1, then resumed
+    rd2, p2 = _mk(tmp_path / "b", batch_reads=4096,
+                  ec_min_round_fixes_frac=0.0, ec_rounds=2,
+                  fault_stage="find_errors@round1")
+    p2.remove_dodgy()
+    p2.precorrect()
+    with pytest.raises(RuntimeError, match="round 1"):
+        p2.find_errors()
+    assert os.path.exists(rd2.file_path("find_errors_progress.npz"))
+    lines = []
+    cfg = AssemblyConfig.from_overrides(K=48, batch_reads=4096,
+                                        ec_min_round_fixes_frac=0.0,
+                                        ec_rounds=2)
+    p2b = Pipeline(RunDir(str(tmp_path / "b" / "run")), cfg,
+                   log=lambda *a: lines.append(" ".join(map(str, a))))
+    p2b.find_errors()
+    assert any("resuming at round 1" in l for l in lines), lines[-5:]
+    got = np.asarray(p2b.rd.load_arrays("frag_reads_edit")["codes"])
+    assert np.array_equal(ref, got)
+    assert not os.path.exists(p2b.rd.file_path("find_errors_progress.npz"))
+
+
 def test_cheat_mode_truth_diagnostics(tmp_path):
     """EVALUATION=CHEAT (ref: RunAllPathsLG EVALUATION=CHEAT guiding
     module internals): truth feeds INTO stage diagnostics — find_errors
