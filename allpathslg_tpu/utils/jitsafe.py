@@ -27,17 +27,34 @@ def _is_buffer_mismatch(e: Exception) -> bool:
     return "buffers" in s and "compiled program expected" in s
 
 
+def _is_transient_remote(e: Exception) -> bool:
+    """Remote-compile/tunnel hiccups seen on the axon backend (HTTP body
+    truncation, connection resets) — retryable, the service recovers."""
+    s = str(e)
+    return ("remote_compile" in s or "response body closed" in s
+            or "connection reset" in s.lower())
+
+
 def call_buffer_safe(jit_fn, *args, **kw):
     """Call a jitted pure function; on the buffer-count mismatch race,
-    clear its compilation cache and retry once (serialized)."""
-    try:
-        return jit_fn(*args, **kw)
-    except ValueError as e:
-        if not _is_buffer_mismatch(e):
-            raise
-        with _LOCK:
-            try:
-                jit_fn.clear_cache()
-            except AttributeError:
-                pass
+    clear its compilation cache and retry once (serialized). Transient
+    remote-service errors retry with backoff (the r5 binding run died to
+    one mid-stage HTTP truncation from the remote compiler)."""
+    import time
+
+    for attempt in range(4):
+        try:
             return jit_fn(*args, **kw)
+        except ValueError as e:
+            if not _is_buffer_mismatch(e):
+                raise
+            with _LOCK:
+                try:
+                    jit_fn.clear_cache()
+                except AttributeError:
+                    pass
+                return jit_fn(*args, **kw)
+        except Exception as e:  # jax.errors.JaxRuntimeError and kin
+            if attempt == 3 or not _is_transient_remote(e):
+                raise
+            time.sleep(20 * (attempt + 1))
