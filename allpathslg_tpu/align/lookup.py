@@ -368,13 +368,38 @@ def _gapped_rescue(win_c, win_d, win_o, aligned, flat_bases, offsets,
     # call the kernel bodies UNJITTED: nesting their pjit inside this
     # jitted program intermittently hit an XLA argument-buffer race when
     # two DAG stage threads first-compile concurrently
+    q_len = lengths.astype(jnp.int32)
+    offv = jnp.full((N,), band, jnp.int32)
     if banded._on_tpu():
         from allpathslg_tpu.ops.pallas import banded_bp
         inner = banded_bp.banded_align_bp.__wrapped__
     else:
         inner = banded.banded_align.__wrapped__
-    cost, _ = inner(q, lengths.astype(jnp.int32), t, t_len,
-                    jnp.full((N,), band, jnp.int32), band=band)
+    # chunk the batch: the bit-parallel kernel's scoped VMEM scales with
+    # the lane (batch) dim and overflowed by ~1.4% at 65536 reads x
+    # (L + 2*band) targets (r5 binding run, align_jumps); chunking is
+    # applied on every backend so CPU tests cover the same logic
+    CH = 16384
+    if N > CH:
+        pad = (-N) % CH
+        if pad:
+            qp = jnp.pad(q, ((0, pad), (0, 0)), constant_values=4)
+            tp = jnp.pad(t, ((0, pad), (0, 0)), constant_values=4)
+            lp = jnp.pad(q_len, (0, pad))
+            tlp = jnp.pad(t_len, (0, pad))
+            op = jnp.pad(offv, (0, pad))
+        else:
+            qp, tp, lp, tlp, op = q, t, q_len, t_len, offv
+        nch = (N + pad) // CH
+        cost, _ = lax.map(
+            lambda xs: inner(xs[0], xs[1], xs[2], xs[3], xs[4],
+                             band=band),
+            (qp.reshape(nch, CH, -1), lp.reshape(nch, CH),
+             tp.reshape(nch, CH, -1), tlp.reshape(nch, CH),
+             op.reshape(nch, CH)))
+        cost = cost.reshape(-1)[:N]
+    else:
+        cost, _ = inner(q, q_len, t, t_len, offv, band=band)
     max_mm = (cfg.max_mismatch_frac
               * lengths.astype(jnp.float32)).astype(jnp.int32)
     ok = (win_c >= 0) & ~aligned & (cost <= max_mm)
