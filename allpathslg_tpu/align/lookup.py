@@ -370,10 +370,13 @@ def _gapped_rescue(win_c, win_d, win_o, aligned, flat_bases, offsets,
     # two DAG stage threads first-compile concurrently
     q_len = lengths.astype(jnp.int32)
     offv = jnp.full((N,), band, jnp.int32)
-    if banded._on_tpu():
-        from allpathslg_tpu.ops.pallas import banded_bp
+    from allpathslg_tpu.ops.pallas import banded_bp
+    if banded._on_tpu() and banded_bp.vmem_fits(L, Wt, band):
         inner = banded_bp.banded_align_bp.__wrapped__
     else:
+        # long-target problems (e.g. FILLED reads, Lq~220) overflow the
+        # bp kernel's scoped VMEM (r5 binding run) — the jnp reference
+        # lowers to a plain XLA scan and handles any shape
         inner = banded.banded_align.__wrapped__
     # chunk the batch: the bit-parallel kernel's scoped VMEM scales with
     # the lane (batch) dim and overflowed by ~1.4% at 65536 reads x

@@ -113,10 +113,14 @@ def banded_align_auto(q, q_len, t, t_len, offset, band: int = 16,
         return call_buffer_safe(banded_align, q, q_len, t, t_len, offset,
                                 band=band, sub_cost=sub_cost,
                                 gap_cost=gap_cost)
-    if sub_cost == 1 and gap_cost == 1 and band <= 15:
+    from allpathslg_tpu.ops.pallas import banded_bp
+    if (sub_cost == 1 and gap_cost == 1 and band <= 15
+            and banded_bp.vmem_fits(int(q.shape[1]), int(t.shape[1]),
+                                    band)):
         # unit-cost narrow band: the bit-parallel Myers kernel computes 32
-        # band cells per word op (~8x the general int kernel's Gcells/s)
-        from allpathslg_tpu.ops.pallas import banded_bp
+        # band cells per word op (~8x the general int kernel's Gcells/s);
+        # oversized (long-target) problems fall through to the general
+        # kernel — the bp kernel holds the whole padded target in VMEM
         return call_buffer_safe(banded_bp.banded_align_bp, q, q_len, t,
                                 t_len, offset, band=band)
     from allpathslg_tpu.ops.pallas import banded_pallas

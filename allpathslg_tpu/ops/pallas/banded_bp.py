@@ -219,6 +219,27 @@ def _from_tiles(x, B):
     return x.reshape(SUBS, G, LANES).transpose(1, 0, 2).reshape(B)
 
 
+def vmem_fits(Lq0: int, Lt: int, band: int,
+              budget_bytes: int = 12 << 20) -> bool:
+    """Scoped-VMEM estimate for one grid block of this kernel: the whole
+    padded target (Ltp columns) sits in VMEM per block. Calibrated
+    against the observed r5 OOM: filled-read rescue problems (Lq0=288,
+    Lt=304, band=8 -> Ltp=992) allocated 16.23 MB against the 16 MB
+    scoped limit — i.e. ~4x the raw t-tile bytes (pipelining buffers).
+    Callers must route oversized shapes to the general banded kernel
+    (ops/banded.banded_align_auto does)."""
+    K = 2 * band + 1
+    Lq = ((Lq0 + ROWS - 1) // ROWS) * ROWS
+    P = Lq + 2 * band
+    shift_max = Lt + P
+    Wa = ((Lq + K - 2) >> 5) + 2
+    Ltp = shift_max + 32 * Wa + 32
+    Ltp = ((Ltp + 31) // 32) * 32
+    t_tile = Ltp * SUBS * LANES * 4
+    scratches = 4 * (Wa + 2) * SUBS * LANES * 4
+    return 4 * t_tile + scratches <= budget_bytes
+
+
 def prep_operands(q, q_len, t, t_len, offset, band: int):
     """The full pre-pallas prep of banded_align_bp: batch/row padding,
     feasible-offset clamp, target left-pad, and tile transposes. Returns
