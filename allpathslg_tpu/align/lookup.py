@@ -237,6 +237,77 @@ def _candidates_packed(index_hash, bucket_starts, index_packed, offsets,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _vote_and_verify_dense(contig, diag, orient, ok,
+                           flat_bases, offsets, codes, lengths,
+                           cfg: AlignConfig):
+    """Dense per-read voting (r5): every read has EXACTLY S*H candidate
+    rows ([N, C] read-major from _candidates), so the modal placement is
+    an all-pairs vote count on a [N, C, C] block — no global sort, no
+    scatter, no scan (the r4 sort+scatter-max pipeline measured 307 ms of
+    the 406 ms batch; this is pure VPU elementwise + reductions).
+
+    Tie-break: earliest candidate row (deterministic; rows are seed-major
+    so this prefers the leftmost seed's placement)."""
+    N, L = codes.shape
+    C = contig.shape[1]
+    c = jnp.where(ok, contig, -1)
+    d = jnp.where(ok, diag, jnp.int32(1 << 30))
+    o = jnp.where(ok, orient.astype(jnp.int32), 2)
+    same = ((c[:, :, None] == c[:, None, :])
+            & (d[:, :, None] == d[:, None, :])
+            & (o[:, :, None] == o[:, None, :])
+            & ok[:, None, :])
+    votes = same.sum(axis=2).astype(jnp.int32) * ok.astype(jnp.int32)
+    # winner: most votes, ties to the earliest row
+    score = votes * (C + 1) + (C - jnp.arange(C, dtype=jnp.int32))[None, :]
+    score = score * ok.astype(jnp.int32)
+    win_row = jnp.argmax(score, axis=1).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, win_row[:, None], axis=1)[:, 0]
+    win_votes = take(votes)
+    has = win_votes > 0
+    win_contig = jnp.where(has, take(c), -1)
+    win_diag = jnp.where(has, take(d), 0)
+    win_orient = jnp.where(has, take(o), 0)
+
+    # runner-up among OTHER placements; same-locus near-diagonal rows
+    # (the other side of an indel, within the rescue band) don't count
+    # as ambiguity (ref: QueryLookupTable groups hits by approx diagonal)
+    tol = max(cfg.rescue_band, 1)
+    same_as_win = ((c == win_contig[:, None]) & (d == win_diag[:, None])
+                   & (o == win_orient[:, None]))
+    near = ((c == win_contig[:, None]) & (o == win_orient[:, None])
+            & (jnp.abs(d - win_diag[:, None]) <= tol))
+    run2 = jnp.max(jnp.where(same_as_win | near, 0, votes), axis=1)
+
+    # verification: compare read to contig segment
+    total = flat_bases.shape[0]
+    gstart = offsets[jnp.maximum(win_contig, 0)]
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lenv = lengths[:, None]
+    tpos_f = win_diag[:, None] + j
+    tpos_r = win_diag[:, None] - j
+    tpos = jnp.where(win_orient[:, None] == 1, tpos_r, tpos_f) \
+        + gstart[:, None]
+    cend = offsets[jnp.maximum(win_contig, 0) + 1]
+    inb = (tpos >= gstart[:, None]) & (tpos < cend[:, None]) & (j < lenv)
+    tb = flat_bases[jnp.clip(tpos, 0, total - 1)]
+    tb = jnp.where(win_orient[:, None] == 1, 3 - tb.astype(jnp.int32),
+                   tb.astype(jnp.int32))
+    mm = ((codes.astype(jnp.int32) != tb) & inb & (codes < 4)).sum(1)
+    n_in = (inb & (codes < 4)).sum(1)
+
+    max_mm = (cfg.max_mismatch_frac
+              * lengths.astype(jnp.float32)).astype(jnp.int32)
+    aligned = (win_contig >= 0) & (n_in >= (lengths * 9) // 10) \
+        & (mm <= max_mm)
+    unique_ok = (run2 * 2 < win_votes) if cfg.require_unique \
+        else jnp.ones_like(aligned)
+    aligned = aligned & unique_ok
+    return win_contig, win_diag, win_orient.astype(bool), mm, aligned, \
+        unique_ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _vote_and_verify(read_id, contig, diag, orient, ok,
                      flat_bases, offsets, codes, lengths, cfg: AlignConfig):
     """Modal placement per read, then gap-free verification.
@@ -258,20 +329,42 @@ def _vote_and_verify(read_id, contig, diag, orient, ok,
     votes = segmented.run_lengths(starts)          # at starts; 0 elsewhere
     r = skeys[0].astype(jnp.int32)
 
-    # winner per read: scatter-max of (votes << IB | reverse-index) — more
-    # votes wins, ties break to the lexicographically smallest placement
-    # (deterministic). IB=24 caps T at 16.7M candidate rows, votes at 127.
+    # winner per read via SEGMENTED max + searchsorted readback — the r4
+    # scatter-max (.at[rr].max over 5.2M rows) measured as the dominant
+    # cost of this whole path (~100 ms per scatter on-chip); the
+    # associative segmented scan + a binary-search gather of each read's
+    # last row is scatter-free. Packing: (votes << IB | reverse-index) —
+    # more votes wins, ties break to the lexicographically smallest
+    # placement (deterministic). IB=24 caps T at 16.7M candidate rows.
     IB = 24
     assert T < (1 << IB), f"candidate rows {T} exceed packed-argmax range"
     idx = jnp.arange(T, dtype=jnp.int32)
     vstart = starts & (r < N)
     vv = jnp.minimum(votes, 127)
     packed = jnp.where(vstart, (vv << IB) | ((1 << IB) - 1 - idx), 0)
-    rr = jnp.where(vstart, r, N)
-    win1 = jnp.zeros(N, jnp.int32).at[rr].max(packed, mode="drop")
+
+    seg_start = jnp.zeros(T, bool).at[0].set(True) | (r != jnp.roll(r, 1))
+
+    def _seg_op(a, b):
+        ar, av = a
+        br, bv = b
+        return ar | br, jnp.where(br, bv, jnp.maximum(av, bv))
+
+    def _segmax(vals):
+        _, out = lax.associative_scan(_seg_op, (seg_start, vals))
+        return out
+
+    scan1 = _segmax(packed)
+    # last row of each read's span (r is the sort's primary key)
+    last_pos = jnp.clip(
+        jnp.searchsorted(r, jnp.arange(N, dtype=jnp.int32), side="right")
+        - 1, 0, T - 1)
+    has_read = r[last_pos] == jnp.arange(N, dtype=jnp.int32)
+    win1 = jnp.where(has_read, scan1[last_pos], 0)
     win_votes = win1 >> IB
     win_idx = ((1 << IB) - 1) - (win1 & ((1 << IB) - 1))
     # runner-up (uniqueness test): best among the read's OTHER placements
+    rr = jnp.where(vstart, r, N)
     is_win_row = vstart & (rr < N) & \
         (win_idx[jnp.minimum(rr, N - 1)] == idx)
 
@@ -296,7 +389,7 @@ def _vote_and_verify(read_id, contig, diag, orient, ok,
             & (jnp.abs(((cand_do2 >> 1) - 2 * L)
                        - win_diag[rr_safe]) <= tol))
     packed2 = jnp.where(vstart & ~is_win_row & ~near, packed, 0)
-    win2 = jnp.zeros(N, jnp.int32).at[rr].max(packed2, mode="drop")
+    win2 = jnp.where(has_read, _segmax(packed2)[last_pos], 0)
     run2 = win2 >> IB
 
     # verification: compare read to contig segment
@@ -438,8 +531,10 @@ def align_reads(index: SeedIndex, codes, lengths, cfg: AlignConfig,
             index.contig, index.pos, index.is_rc, codes, lengths, cfg,
             index.shift)
     fb = jnp.asarray(flat_bases)
+    N = int(codes.shape[0])
     win_c, win_d, win_o, mm, aligned, unique_ok = call_buffer_safe(
-        _vote_and_verify, rid, c, d, o, ok, fb, index.offsets,
+        _vote_and_verify_dense, c.reshape(N, -1), d.reshape(N, -1),
+        o.reshape(N, -1), ok.reshape(N, -1), fb, index.offsets,
         codes, lengths, cfg)
     if cfg.rescue_band > 0:
         rescued, cost = call_buffer_safe(

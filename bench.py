@@ -223,8 +223,11 @@ def main():
                     rid, cc, d, o, okc = alook._candidates(
                         index.hash, index.bucket_starts, index.contig,
                         index.pos, index.is_rc, c, lens, acfg, index.shift)
-                _, _, _, _, aligned, _ = alook._vote_and_verify(
-                    rid, cc, d, o, okc, fb, index.offsets, c, lens, acfg)
+                NB = c.shape[0]
+                _, _, _, _, aligned, _ = alook._vote_and_verify_dense(
+                    cc.reshape(NB, -1), d.reshape(NB, -1),
+                    o.reshape(NB, -1), okc.reshape(NB, -1),
+                    fb, index.offsets, c, lens, acfg)
                 return tot + aligned.sum()
             return lax.fori_loop(0, REP, body, jnp.int32(0))
 

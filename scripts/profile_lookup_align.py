@@ -103,8 +103,10 @@ def main():
     # C: full vote+verify from materialized candidates
     def stage_c(i, rid, cc, d, o, ok, codes, lens):
         okx = ok ^ (i % 2 == 3)
-        _, _, _, _, aligned, _ = alook._vote_and_verify(
-            rid, cc, d, o, okx, fb, index.offsets, codes, lens, acfg)
+        NB = codes.shape[0]
+        _, _, _, _, aligned, _ = alook._vote_and_verify_dense(
+            cc.reshape(NB, -1), d.reshape(NB, -1), o.reshape(NB, -1),
+            okx.reshape(NB, -1), fb, index.offsets, codes, lens, acfg)
         return aligned.sum()
 
     out["vote_verify_ms"] = sustain(stage_c, rid, cc, d, o, ok, codes, lens) * 1e3
@@ -113,8 +115,10 @@ def main():
     def stage_d(i, codes, lens):
         c = codes.at[0, 0].set((i % 4).astype(jnp.uint8))
         rid, cc, d, o, ok = _cands(c, lens)
-        _, _, _, _, aligned, _ = alook._vote_and_verify(
-            rid, cc, d, o, ok, fb, index.offsets, c, lens, acfg)
+        NB = c.shape[0]
+        cc, d, o, ok = (x.reshape(NB, -1) for x in (cc, d, o, ok))
+        _, _, _, _, aligned, _ = alook._vote_and_verify_dense(
+            cc, d, o, ok, fb, index.offsets, c, lens, acfg)
         return aligned.sum()
 
     out["full_ms"] = sustain(stage_d, codes, lens) * 1e3
