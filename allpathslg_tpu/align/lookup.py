@@ -8,10 +8,13 @@ unique placements as compact alignlets (read, contig, pos, rc, mismatches).
 This is the "aligned read-pairs/s" metric path; gapped rescue goes through
 the banded-DP kernel later.
 
-TPU shape: the index is a sorted (canonical kmer → contig, pos, orient)
-table over the *flat* concatenated contig bases (windows crossing contig
-boundaries masked out); queries batch-join via searchsorted; votes resolve
-by one sort + run-length; verification is a gather + compare.
+TPU shape: the index is a hash-bucketed (canonical kmer → packed
+gpos|rc) table over the *flat* concatenated contig bases (windows
+crossing contig boundaries masked out); seeds probe buckets with direct
+gathers; votes resolve DENSELY per read (every read has exactly S*H
+candidate rows → [N, C, C] all-pairs count on the VPU — no sort, no
+scatter); verification is a gather + compare, with banded-DP gapped
+rescue for verify failures.
 """
 
 from __future__ import annotations
@@ -300,119 +303,6 @@ def _vote_and_verify_dense(contig, diag, orient, ok,
               * lengths.astype(jnp.float32)).astype(jnp.int32)
     aligned = (win_contig >= 0) & (n_in >= (lengths * 9) // 10) \
         & (mm <= max_mm)
-    unique_ok = (run2 * 2 < win_votes) if cfg.require_unique \
-        else jnp.ones_like(aligned)
-    aligned = aligned & unique_ok
-    return win_contig, win_diag, win_orient.astype(bool), mm, aligned, \
-        unique_ok
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _vote_and_verify(read_id, contig, diag, orient, ok,
-                     flat_bases, offsets, codes, lengths, cfg: AlignConfig):
-    """Modal placement per read, then gap-free verification.
-
-    One 3-word sort groups identical (read, contig, diag/orient) votes;
-    winner and runner-up per read come from two packed scatter-maxes (no
-    second sort — the 4-word + payload re-sort was ~2x the vote cost)."""
-    N, L = codes.shape
-    T = read_id.shape[0]
-    # sort candidate votes by (read, contig, diag ⊕ orient)
-    key_r = jnp.where(ok, read_id, jnp.int32(N)).astype(jnp.uint32)
-    key_c = jnp.where(ok, contig, 0).astype(jnp.uint32)
-    key_do = jnp.where(ok, ((diag + 2 * L) << 1) | orient.astype(jnp.int32),
-                       0).astype(jnp.uint32)
-    skeys = lax.sort([key_r, key_c, key_do], num_keys=3, dimension=0,
-                     is_stable=False)
-    skeys = list(skeys)
-    starts = ops_sort.run_starts(skeys)
-    votes = segmented.run_lengths(starts)          # at starts; 0 elsewhere
-    r = skeys[0].astype(jnp.int32)
-
-    # winner per read via SEGMENTED max + searchsorted readback — the r4
-    # scatter-max (.at[rr].max over 5.2M rows) measured as the dominant
-    # cost of this whole path (~100 ms per scatter on-chip); the
-    # associative segmented scan + a binary-search gather of each read's
-    # last row is scatter-free. Packing: (votes << IB | reverse-index) —
-    # more votes wins, ties break to the lexicographically smallest
-    # placement (deterministic). IB=24 caps T at 16.7M candidate rows.
-    IB = 24
-    assert T < (1 << IB), f"candidate rows {T} exceed packed-argmax range"
-    idx = jnp.arange(T, dtype=jnp.int32)
-    vstart = starts & (r < N)
-    vv = jnp.minimum(votes, 127)
-    packed = jnp.where(vstart, (vv << IB) | ((1 << IB) - 1 - idx), 0)
-
-    seg_start = jnp.zeros(T, bool).at[0].set(True) | (r != jnp.roll(r, 1))
-
-    def _seg_op(a, b):
-        ar, av = a
-        br, bv = b
-        return ar | br, jnp.where(br, bv, jnp.maximum(av, bv))
-
-    def _segmax(vals):
-        _, out = lax.associative_scan(_seg_op, (seg_start, vals))
-        return out
-
-    scan1 = _segmax(packed)
-    # last row of each read's span (r is the sort's primary key)
-    last_pos = jnp.clip(
-        jnp.searchsorted(r, jnp.arange(N, dtype=jnp.int32), side="right")
-        - 1, 0, T - 1)
-    has_read = r[last_pos] == jnp.arange(N, dtype=jnp.int32)
-    win1 = jnp.where(has_read, scan1[last_pos], 0)
-    win_votes = win1 >> IB
-    win_idx = ((1 << IB) - 1) - (win1 & ((1 << IB) - 1))
-    # runner-up (uniqueness test): best among the read's OTHER placements
-    rr = jnp.where(vstart, r, N)
-    is_win_row = vstart & (rr < N) & \
-        (win_idx[jnp.minimum(rr, N - 1)] == idx)
-
-    has = win_votes > 0
-    safe_idx = jnp.minimum(win_idx, T - 1)
-    win_contig = jnp.where(has, skeys[1][safe_idx].astype(jnp.int32), -1)
-    wdo = skeys[2][safe_idx].astype(jnp.int32)
-    win_diag = jnp.where(has, (wdo >> 1) - 2 * L, 0)
-    win_orient = jnp.where(has, wdo & 1, 0)
-
-    # a same-locus runner-up (same contig+orient, diagonal within the
-    # rescue band) is the OTHER side of an indel, not a competing
-    # placement — exclude it from the ambiguity test so gapped rescue
-    # can accept the read (ref: QueryLookupTable groups seed hits by
-    # approximate diagonal before extension)
-    tol = max(cfg.rescue_band, 1)
-    rr_safe = jnp.minimum(rr, N - 1)
-    cand_c = skeys[1].astype(jnp.int32)
-    cand_do2 = skeys[2].astype(jnp.int32)
-    near = ((cand_c == win_contig[rr_safe])
-            & ((cand_do2 & 1) == win_orient[rr_safe])
-            & (jnp.abs(((cand_do2 >> 1) - 2 * L)
-                       - win_diag[rr_safe]) <= tol))
-    packed2 = jnp.where(vstart & ~is_win_row & ~near, packed, 0)
-    win2 = jnp.where(has_read, _segmax(packed2)[last_pos], 0)
-    run2 = win2 >> IB
-
-    # verification: compare read to contig segment
-    total = flat_bases.shape[0]
-    gstart = offsets[jnp.maximum(win_contig, 0)]
-    # fwd: read j ↔ flat[gstart + diag + j]
-    # rc:  read j ↔ rc(flat[gstart + diag + (len-1) - j])
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    lenv = lengths[:, None]
-    tpos_f = win_diag[:, None] + j
-    tpos_r = win_diag[:, None] - j
-    tpos = jnp.where(win_orient[:, None] == 1, tpos_r, tpos_f) + gstart[:, None]
-    # clip to this contig's bounds
-    cend = offsets[jnp.maximum(win_contig, 0) + 1]
-    inb = (tpos >= gstart[:, None]) & (tpos < cend[:, None]) & (j < lenv)
-    tb = flat_bases[jnp.clip(tpos, 0, total - 1)]
-    tb = jnp.where(win_orient[:, None] == 1, 3 - tb.astype(jnp.int32),
-                   tb.astype(jnp.int32))
-    mm = ((codes.astype(jnp.int32) != tb) & inb & (codes < 4)).sum(1)
-    n_in = (inb & (codes < 4)).sum(1)
-
-    max_mm = (cfg.max_mismatch_frac * lengths.astype(jnp.float32)).astype(jnp.int32)
-    aligned = (win_contig >= 0) & (n_in >= (lengths * 9) // 10) & (mm <= max_mm)
     unique_ok = (run2 * 2 < win_votes) if cfg.require_unique \
         else jnp.ones_like(aligned)
     aligned = aligned & unique_ok
