@@ -41,6 +41,10 @@ class AssemblyConfig:
     stage_workers: int = 2          # concurrent DAG stages (make -j analog;
                                     # 1 = strictly serial)
     stage_heartbeat_s: int = 300    # in-stage progress log cadence (0 = off)
+    round_checkpoints: bool = True  # intra-stage per-round EC checkpoints
+                                    # (downloads the read set once per round
+                                    # — durability vs tunnel wedges; off =
+                                    # zero mid-stage read downloads)
     stage_timeout_s: int = 0        # wall-clock guard per stage: raise
                                     # StageTimeout in the stage thread past
                                     # this (0 = off). Fail-fast + manifest

@@ -462,7 +462,7 @@ class Pipeline:
                          f"fixes={n_round}")
                 if n_round < ecfg.min_round_fixes_frac * db.n_real:
                     break       # fixpoint reached (adaptive round cutoff)
-                if r + 1 < ecfg.rounds:
+                if cfg.round_checkpoints and r + 1 < ecfg.rounds:
                     tmp = ck_file + ".tmp"
                     with open(tmp, "wb") as f:
                         np.savez(f, ih=ih, next_round=r + 1, total=total,

@@ -65,7 +65,8 @@ def test_mesh_ec_zero_read_roundtrips(tmp_path):
     log = lambda *a: None
     prepare_sim_inputs(rd, 20000, 40.0, 0.01, 100, 5, log)
     cfg = AssemblyConfig.from_overrides(batch_reads=4096, n_devices=8,
-                                        stage_workers=1)
+                                        stage_workers=1,
+                                        round_checkpoints=False)
     pipe = Pipeline(rd, cfg, log)
     pipe.remove_dodgy()
     pipe.precorrect()
